@@ -1,0 +1,52 @@
+"""pcsc_eigenvalue_solver_project_tpu — a TPU-native eigenvalue-solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``hugoheziyang/PCSC_Eigenvalue_Solver_Project`` (a C++20/Eigen library):
+dense and sparse (CSR/ELL/block-sparse) real and complex matrices with a
+text-file reader, power iteration, shifted inverse power iteration, and the
+QR eigenvalue algorithm (Hessenberg reduction + QR sweeps, with an
+accelerated Wilkinson-shift + deflation mode) — plus the distributed layer
+the reference lacks: row-partitioned operators over a ``jax.sharding.Mesh``
+with XLA collectives.
+
+Typical usage::
+
+    import pcsc_eigenvalue_solver_project_tpu as eigsol
+
+    A = eigsol.read_matrix_from_file("data/A.txt", dtype=jnp.complex128)
+    res = eigsol.power_method(A, eigsol.SolverOptions(tolerance=1e-8))
+    print(res.eigenvalue, int(res.iterations), bool(res.converged))
+"""
+
+from .core.options import QROptions, ShiftedSolverOptions, SolverOptions
+from .core.results import EigenResult, QRResult
+from .core.tolerance import is_close_relative
+from .matrix.dense import DenseMatrix
+from .matrix.protocol import AbstractMatrix
+from .matrix.sparse import SparseCSR, SparseELL
+from .io.reader import read_matrix_from_file, read_matrix_from_text
+from .io.writer import write_matrix_to_file
+from .solvers.power import power_method
+from .solvers.inverse_power import shifted_inverse_power_method
+from .solvers.solve_shifted import solve_shifted
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AbstractMatrix",
+    "DenseMatrix",
+    "EigenResult",
+    "QROptions",
+    "QRResult",
+    "ShiftedSolverOptions",
+    "SolverOptions",
+    "SparseCSR",
+    "SparseELL",
+    "is_close_relative",
+    "power_method",
+    "read_matrix_from_file",
+    "read_matrix_from_text",
+    "shifted_inverse_power_method",
+    "solve_shifted",
+    "write_matrix_to_file",
+]

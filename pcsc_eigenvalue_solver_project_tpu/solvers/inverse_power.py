@@ -1,0 +1,144 @@
+"""Shifted inverse power iteration — eigenvalue nearest the shift.
+
+Reference parity (/root/reference/src/power_method/
+shifted_inverse_power_solver.hpp:21-125): each iteration solves
+``(A - shift*I) y = x`` (:51), normalises, and takes the Rayleigh quotient
+on A (:62); stopping, breakdown, and iteration-count semantics match the
+power method. The shift is FIXED (no Rayleigh-quotient-iteration update).
+
+TPU-native improvements over the reference:
+
+- The reference re-runs a full LU factorisation EVERY outer iteration
+  because its ``solve_shifted`` is stateless (solve_shifted.hpp:78,104-115
+  called from the loop at shifted_inverse_power_solver.hpp:51). The shift
+  is fixed, so here the dense path factorises ``A - shift*I`` ONCE outside
+  the loop (``lu_factor``) and back-substitutes per iteration — identical
+  numerics, O(n^3) -> O(n^2) per iteration.
+- Sparse path: no SparseLU exists on TPU; small systems densify (LU on the
+  MXU), large ones run Jacobi-preconditioned BiCGStab on the SpMV inside
+  the jitted outer loop (an inner Krylov loop nested in the outer power
+  loop, both on device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..core.dtypes import check_scalar_type, real_dtype_of
+from ..core.options import ShiftedSolverOptions
+from ..core.results import EigenResult
+from ..core.tolerance import is_close_relative
+from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
+from ..ops.krylov import solve_shifted_bicgstab
+from ..utils.prng import default_key, random_unit_vector
+
+# Sparse systems up to this size are densified and LU-factorised once.
+DENSE_FALLBACK_MAX_N = 2048
+
+
+def _run_loop(M: AbstractMatrix, solve, x0: jax.Array, max_iterations, tol) -> EigenResult:
+    dtype = x0.dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
+
+    def cond(c):
+        k, x, lam, initialized, converged, used, done = c
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        k, x, lam, initialized, converged, used, done = c
+        y = solve(x)  # (A - shift I) y = x   (shifted_inverse_power_solver.hpp:51)
+        norm_y = jnp.linalg.norm(y).astype(rdt)
+        breakdown = norm_y == 0
+        safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y).astype(dtype)
+        x_new = y / safe
+        lam_new = jnp.vdot(x_new, M.matvec(x_new))  # Rayleigh quotient on A (:62)
+        conv_now = jnp.logical_and(initialized, is_close_relative(lam_new, lam, tol))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        return (
+            k + 1,
+            jnp.where(breakdown, x, x_new),
+            jnp.where(breakdown, lam, lam_new),
+            jnp.logical_or(initialized, jnp.logical_not(breakdown)),
+            jnp.logical_or(converged, conv_now),
+            k + 1,
+            jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        jnp.zeros((), dtype),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(False),
+    )
+    k, x, lam, initialized, converged, used, done = jax.lax.while_loop(cond, body, init)
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used, converged=converged)
+
+
+@jax.jit
+def _inverse_power_dense(a: jax.Array, shift: jax.Array, x0: jax.Array,
+                         max_iterations: jax.Array, tol: jax.Array) -> EigenResult:
+    from ..matrix.dense import DenseMatrix
+    n = a.shape[0]
+    m = a - shift * jnp.eye(n, dtype=a.dtype)
+    lu, piv = jsl.lu_factor(m)  # factorise ONCE (shift is fixed)
+
+    def solve(x):
+        return jsl.lu_solve((lu, piv), x)
+
+    return _run_loop(DenseMatrix(a), solve, x0, max_iterations, tol)
+
+
+@partial(jax.jit, static_argnames=("inner_maxiter",))
+def _inverse_power_krylov(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
+                          max_iterations: jax.Array, tol: jax.Array,
+                          inner_tol: jax.Array, inner_maxiter: int) -> EigenResult:
+    diag = M.diagonal()
+
+    def solve(x):
+        return solve_shifted_bicgstab(M.matvec, shift, x, diag=diag,
+                                      tol=inner_tol, maxiter=inner_maxiter)
+
+    return _run_loop(M, solve, x0, max_iterations, tol)
+
+
+def shifted_inverse_power_method(M: AbstractMatrix,
+                                 opts: ShiftedSolverOptions = ShiftedSolverOptions(),
+                                 *, dtype=None, key=None, x0=None) -> EigenResult:
+    """Eigenpair nearest ``opts.shift`` via shifted inverse iteration."""
+    if dtype is not None:
+        check_scalar_type(M.dtype, dtype, "shifted_inverse_power_method")
+    require_square(M, "shifted_inverse_power_method")
+    require_nonempty(M, "shifted_inverse_power_method")
+    n = M.shape[0]
+    if x0 is None:
+        x0 = random_unit_vector(key if key is not None else default_key(), n, M.dtype)
+    else:
+        x0 = jnp.asarray(x0, M.dtype)
+        nrm = jnp.linalg.norm(x0)
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(M.dtype))
+    shift = jnp.asarray(opts.shift, M.dtype)
+    # All option scalars ride as traced values: changing the shift,
+    # tolerance, or iteration caps never retriggers compilation.
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    max_it = jnp.asarray(opts.max_iterations, jnp.int32)
+    tol = jnp.asarray(opts.tolerance, ftype)
+    method = opts.inner_method
+    if M.is_dense:
+        return _inverse_power_dense(M.as_dense(), shift, x0, max_it, tol)
+    if method == "auto":
+        method = "dense_lu" if n <= DENSE_FALLBACK_MAX_N else "bicgstab"
+    if method == "dense_lu":
+        return _inverse_power_dense(M.to_dense(), shift, x0, max_it, tol)
+    if method == "bicgstab":
+        inner_maxiter = opts.inner_max_iterations or 4 * n
+        return _inverse_power_krylov(M, shift, x0, max_it, tol,
+                                     jnp.asarray(opts.inner_tolerance, ftype),
+                                     inner_maxiter)
+    raise ValueError(f"shifted_inverse_power_method: unknown inner method {method!r}")

@@ -1,0 +1,105 @@
+"""Power iteration — dominant eigenpair.
+
+Reference parity (/root/reference/src/power_method/power_method.hpp:47-148):
+
+    x_{k+1} = A x_k / ||A x_k||,   lambda_k = x_k^H (A x_k)
+
+with convergence when successive Rayleigh quotients satisfy
+``|l_new - l| <= tol * (1 + |l_new|)`` (power_method.hpp:83-91 via
+tolerance.hpp:29-33), breakdown (``||Ax|| == 0``) exiting with
+``converged=False`` (power_method.hpp:73-76), and ``iterations == k+1`` at
+the breaking iteration (power_method.hpp:87,95).
+
+TPU-native structure: the whole loop is one ``lax.while_loop`` under jit
+with an on-device convergence flag in the carry — zero host round-trips per
+iteration. The reference performs TWO matvecs per iteration (``A*x`` at :69
+and ``x.dot(A*x)`` at :81); here the Rayleigh-quotient matvec ``A x_{k+1}``
+is carried over as the next iteration's ``y`` — the identical sequence of
+floating-point operations with exactly ONE matvec per iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import check_scalar_type, real_dtype_of
+from ..core.options import SolverOptions
+from ..core.results import EigenResult
+from ..core.tolerance import is_close_relative
+from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
+from ..utils.prng import default_key, random_unit_vector
+
+
+@jax.jit
+def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
+                tol: jax.Array) -> EigenResult:
+    # max_iterations/tol ride as traced scalars: changing options never
+    # retriggers compilation (only shapes/dtypes/matrix kind do).
+    dtype = x0.dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
+
+    z0 = M.matvec(x0)  # carried image A @ x
+
+    def cond(c):
+        k, x, z, lam, initialized, converged, used, done = c
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        k, x, z, lam, initialized, converged, used, done = c
+        y = z  # == A @ x, computed at the end of the previous iteration
+        norm_y = jnp.linalg.norm(y).astype(rdt)
+        breakdown = norm_y == 0
+        safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y).astype(dtype)
+        x_new = y / safe
+        z_new = M.matvec(x_new)
+        lam_new = jnp.vdot(x_new, z_new)  # x^H (A x): conjugates first arg like Eigen dot
+        conv_now = jnp.logical_and(initialized,
+                                   is_close_relative(lam_new, lam, tol))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        return (
+            k + 1,
+            jnp.where(breakdown, x, x_new),
+            jnp.where(breakdown, z, z_new),
+            jnp.where(breakdown, lam, lam_new),
+            jnp.logical_or(initialized, jnp.logical_not(breakdown)),
+            jnp.logical_or(converged, conv_now),
+            k + 1,  # usedIters = k+1 on every executed iteration (power_method.hpp:87,95)
+            jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        z0,
+        jnp.zeros((), dtype),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(False),
+    )
+    k, x, z, lam, initialized, converged, used, done = jax.lax.while_loop(cond, body, init)
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used, converged=converged)
+
+
+def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
+                 dtype=None, key=None, x0=None) -> EigenResult:
+    """Dominant-eigenpair power iteration on a dense or sparse matrix.
+
+    ``dtype`` is the ``Scalar`` template-parameter analogue: when given, a
+    mismatch with the stored dtype raises ``TypeError`` (parity with
+    power_method.hpp:137-139). ``key``/``x0`` control the random start.
+    """
+    if dtype is not None:
+        check_scalar_type(M.dtype, dtype, "power_method")
+    require_square(M, "power_method")
+    require_nonempty(M, "power_method")
+    if x0 is None:
+        x0 = random_unit_vector(key if key is not None else default_key(),
+                                M.shape[0], M.dtype)
+    else:
+        x0 = jnp.asarray(x0, M.dtype)
+        nrm = jnp.linalg.norm(x0)
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(M.dtype))
+    return _power_loop(M, x0, jnp.asarray(opts.max_iterations, jnp.int32),
+                       jnp.asarray(opts.tolerance, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))

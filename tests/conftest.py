@@ -1,0 +1,30 @@
+"""Test harness config.
+
+Tests run on CPU with an 8-device fake mesh (the survey's recommended
+pattern for multi-chip testing without hardware, SURVEY.md §4) and with x64
+enabled so float64/complex128 parity cases match the reference's C++
+doubles. The real-chip benchmark path (bench.py) does not import this.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU backend unconditionally and the
+# JAX_PLATFORMS env var is overridden there; jax.config wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(42)

@@ -1,0 +1,96 @@
+"""Shifted-inverse-power tests.
+
+Mirrors /root/reference/test/shifted_inverse_power_method_test.cpp: the
+shift selects the nearest eigenvalue (sigma=1.9 -> 2 and sigma=4.9 -> 5 on
+diag(2,5); sparse diag(1,3,10) with sigma=2.9 -> 3), error paths, and the
+tiny-maxIterations iteration-count contract. Adds the Krylov
+(BiCGStab) inner-solve path the TPU build uses where the reference used
+SparseLU.
+"""
+
+import numpy as np
+import pytest
+
+from pcsc_eigenvalue_solver_project_tpu import (
+    DenseMatrix, ShiftedSolverOptions, SparseCSR, shifted_inverse_power_method)
+
+
+class TestShiftSelectsNearest:
+    def test_dense_low_shift(self, key):
+        # shifted_inverse_power_method_test.cpp:38-60
+        M = DenseMatrix.from_array(np.diag([2.0, 5.0]))
+        res = shifted_inverse_power_method(M, ShiftedSolverOptions(shift=1.9), key=key)
+        assert bool(res.converged)
+        np.testing.assert_allclose(complex(res.eigenvalue), 2.0, rtol=1e-8)
+
+    def test_dense_high_shift(self, key):
+        # shifted_inverse_power_method_test.cpp:62-83
+        M = DenseMatrix.from_array(np.diag([2.0, 5.0]))
+        res = shifted_inverse_power_method(M, ShiftedSolverOptions(shift=4.9), key=key)
+        assert bool(res.converged)
+        np.testing.assert_allclose(complex(res.eigenvalue), 5.0, rtol=1e-8)
+
+    def test_sparse(self, key):
+        # shifted_inverse_power_method_test.cpp:88-110: diag(1,3,10), sigma=2.9
+        M = SparseCSR.from_coo([0, 1, 2], [0, 1, 2], [1.0, 3.0, 10.0], (3, 3))
+        res = shifted_inverse_power_method(M, ShiftedSolverOptions(shift=2.9), key=key)
+        assert bool(res.converged)
+        np.testing.assert_allclose(complex(res.eigenvalue), 3.0, rtol=1e-8)
+
+    def test_sparse_bicgstab_path(self, key):
+        M = SparseCSR.from_coo([0, 1, 2], [0, 1, 2], [1.0, 3.0, 10.0], (3, 3))
+        res = shifted_inverse_power_method(
+            M, ShiftedSolverOptions(shift=2.9, inner_method="bicgstab"), key=key)
+        assert bool(res.converged)
+        np.testing.assert_allclose(complex(res.eigenvalue), 3.0, rtol=1e-8)
+
+    def test_complex_shift(self, key):
+        # demo parity: main.cpp runs complex shifts 3.1 and 2.3
+        a = np.diag([1 + 3j, 2 + 4j, 5 - 1j])
+        M = DenseMatrix.from_array(a, dtype=np.complex128)
+        res = shifted_inverse_power_method(
+            M, ShiftedSolverOptions(shift=2.3 + 4j, tolerance=1e-12), key=key)
+        assert bool(res.converged)
+        np.testing.assert_allclose(complex(res.eigenvalue), 2 + 4j, rtol=1e-8)
+
+    def test_nonsymmetric_interior(self, key):
+        rng = np.random.default_rng(7)
+        a = rng.random((8, 8))
+        eigs = np.linalg.eigvals(a)
+        # pick a real target eigenvalue region: shift toward the eigenvalue
+        # of smallest magnitude
+        target = min(eigs, key=lambda z: abs(z.imag) * 1e6 + abs(z))
+        if abs(target.imag) < 1e-9:
+            M = DenseMatrix.from_array(a)
+            res = shifted_inverse_power_method(
+                M, ShiftedSolverOptions(shift=float(target.real) + 0.05,
+                                        tolerance=1e-12), key=key)
+            np.testing.assert_allclose(complex(res.eigenvalue), target, rtol=1e-6)
+
+
+class TestErrorPaths:
+    def test_non_square(self):
+        # shifted_inverse_power_method_test.cpp:115-133
+        M = DenseMatrix.from_array(np.ones((2, 3)))
+        with pytest.raises(ValueError, match="matrix must be square"):
+            shifted_inverse_power_method(M)
+
+    def test_zero_size(self):
+        M = DenseMatrix.from_array(np.zeros((0, 0)))
+        with pytest.raises(ValueError, match="zero size"):
+            shifted_inverse_power_method(M)
+
+    def test_scalar_type_mismatch(self):
+        M = DenseMatrix.from_array(np.eye(2))
+        with pytest.raises(TypeError, match="scalar type mismatch"):
+            shifted_inverse_power_method(M, dtype=np.complex128)
+
+
+class TestIterationSemantics:
+    def test_tiny_max_iterations(self, key):
+        # shifted_inverse_power_method_test.cpp:153-170
+        M = DenseMatrix.from_array(np.diag([2.0, 5.0]))
+        res = shifted_inverse_power_method(
+            M, ShiftedSolverOptions(shift=1.9, max_iterations=1), key=key)
+        assert int(res.iterations) == 1
+        assert not bool(res.converged)
