@@ -29,6 +29,9 @@ from .io.writer import write_matrix_to_file
 from .solvers.power import power_method
 from .solvers.inverse_power import shifted_inverse_power_method
 from .solvers.solve_shifted import solve_shifted
+from .solvers.hessenberg import to_hessenberg
+from .solvers.qr import qr_decompose
+from .solvers.qr_eigenvalues import qr_eigenvalues
 
 __version__ = "0.1.0"
 
@@ -44,7 +47,10 @@ __all__ = [
     "SparseELL",
     "is_close_relative",
     "power_method",
+    "qr_decompose",
+    "qr_eigenvalues",
     "read_matrix_from_file",
+    "to_hessenberg",
     "read_matrix_from_text",
     "shifted_inverse_power_method",
     "solve_shifted",

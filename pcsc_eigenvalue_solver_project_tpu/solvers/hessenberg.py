@@ -1,0 +1,78 @@
+"""Hessenberg reduction via Householder similarity transforms.
+
+Reference parity (/root/reference/src/qr_method/to_hessenberg.hpp:23-119):
+per column k, build a reflector from the subcolumn below the diagonal with
+the phase-correct sign ``x0/|x0|`` for complex scalars (:51-57), skip when
+the column is already zero below the subdiagonal (:46-48) or the reflector
+degenerates (:62-64), and apply the left (:69-71) and right (:74-76)
+rank-1 similarity updates. Dense only — the wrapper raises for sparse
+matrices exactly like the reference (:104-106).
+
+TPU-native structure: a ``lax.fori_loop`` over columns with FULL-SIZE
+masked updates — the reflector ``v`` lives in a fixed length-n vector that
+is zero outside rows k+1..n-1, so the two rank-1 updates are full (n,1)x
+(1,n) outer products that XLA maps onto the MXU; no dynamic shapes, one
+compiled program for all k. The update column masks reproduce the
+reference's exact touched region so rounding behavior matches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import check_scalar_type, real_dtype_of
+from ..matrix.protocol import AbstractMatrix
+
+
+@jax.jit
+def hessenberg_dense(a: jax.Array) -> jax.Array:
+    """Reduce a square dense matrix to upper Hessenberg form (similar to A)."""
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("hessenberg_dense: A must be square")
+    dtype = a.dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
+    idx = jnp.arange(n)
+
+    def body(k, H):
+        col = H[:, k]
+        # x = H[k+1:, k] embedded in a full-length vector
+        x = jnp.where(idx >= k + 1, col, jnp.zeros((), dtype))
+        norm_x = jnp.linalg.norm(x).astype(rdt)
+        tail_zero = jnp.linalg.norm(jnp.where(idx >= k + 2, col, jnp.zeros((), dtype))) == 0
+
+        x0 = col[k + 1]
+        sign = jnp.where(x0 != 0, x0 / jnp.abs(x0).astype(dtype), jnp.ones((), dtype))
+        alpha = -sign * norm_x.astype(dtype)
+
+        v = x.at[k + 1].add(-alpha)
+        vnorm = jnp.linalg.norm(v).astype(rdt)
+        degenerate = vnorm == 0
+        v = v / jnp.where(degenerate, jnp.ones((), rdt), vnorm).astype(dtype)
+
+        # Left: H(k+1:, k:) -= 2 v (v^H H); v is zero outside rows k+1..,
+        # the column mask restricts to cols >= k (to_hessenberg.hpp:69-71).
+        w = jnp.conj(v) @ H
+        w = jnp.where(idx >= k, w, jnp.zeros((), dtype))
+        H1 = H - 2.0 * jnp.outer(v, w)
+        # Right: H(:, k+1:) -= 2 (H v) v^H; v's sparsity restricts the cols.
+        u = H1 @ v
+        H2 = H1 - 2.0 * jnp.outer(u, jnp.conj(v))
+
+        skip = jnp.logical_or(tail_zero, degenerate)
+        return jnp.where(skip, H, H2)
+
+    # k ranges over 0..n-3 (to_hessenberg.hpp:38); empty range for n <= 2.
+    return jax.lax.fori_loop(0, max(n - 2, 0), body, a)
+
+
+def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:
+    """Wrapper with the reference's dense-only and scalar-type guards."""
+    if not M.is_dense:
+        raise ValueError("to_hessenberg: only dense matrices are supported")
+    if dtype is not None:
+        check_scalar_type(M.dtype, dtype, "to_hessenberg")
+    if M.shape[0] != M.shape[1]:
+        raise ValueError("to_hessenberg_dense: A must be square")
+    return hessenberg_dense(M.as_dense())
