@@ -1,0 +1,107 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: SpMV throughput (nnz/s) inside a jitted power-iteration
+loop on the 100K-row banded sparse config (BASELINE.json configs[3]),
+measured on the real chip. The operator is a fully-populated 33-diagonal
+band in DIA layout driven by the Pallas kernel
+(ops/pallas/dia_spmv.py); ``vs_baseline`` is the speedup over the naive
+gather-based ELL SpMV — the untuned way to run general sparse on TPU via
+XLA (the reference itself publishes no numbers, BASELINE.md).
+
+Timing methodology: the axon relay's ``block_until_ready`` does not block
+on completion, and each dispatch carries ~30 ms of tunnel latency — so
+every measurement forces a scalar readback and the per-iteration cost is
+the MARGINAL cost between two loop lengths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+BANDWIDTH = 16  # 33 diagonals
+
+
+def _marginal_time(run, args, lo=100, hi=1100, reps=3):
+    """Marginal seconds/iteration with scalar-readback synchronisation."""
+    float(run(*args, lo))  # warm both shapes
+    float(run(*args, hi))
+    t_lo, t_hi = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(run(*args, lo)); t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(run(*args, hi)); t_hi.append(time.perf_counter() - t0)
+    return max((min(t_hi) - min(t_lo)) / (hi - lo), 1e-12)
+
+
+def bench_spmv(n: int, verbose: bool):
+    from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+    from pcsc_eigenvalue_solver_project_tpu.ops.matvec import ell_matvec
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import dia_matvec
+
+    dia = banded_full(n, bandwidth=BANDWIDTH, dtype=np.float32, seed=0)
+    offsets = dia.offsets
+    nnz = dia.nnz
+    x0 = jnp.ones((n,), jnp.float32)
+
+    def power_chain(matvec):
+        def run_body(operand, iters):
+            def body(_, xx):
+                yy = matvec(operand, xx)
+                nn2 = jnp.sum(jnp.abs(yy) ** 2)
+                return yy * jax.lax.rsqrt(jnp.where(nn2 == 0, 1.0, nn2))
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
+        return jax.jit(run_body)
+
+    results = {}
+
+    run_pallas = power_chain(lambda v, x: dia_matvec(v, offsets, x, force="pallas"))
+    results["pallas_dia"] = nnz / _marginal_time(run_pallas, (dia.data,))
+
+    run_xla = power_chain(lambda v, x: dia_matvec(v, offsets, x, force="xla"))
+    results["xla_dia"] = nnz / _marginal_time(run_xla, (dia.data,))
+
+    # naive baseline: ELL gather SpMV of the same operator
+    from pcsc_eigenvalue_solver_project_tpu.matrix.sparse import SparseCSR
+    csr = SparseCSR.from_dense(np.asarray(dia.to_dense())) if n <= 20000 else None
+    if csr is None:
+        # build ELL directly from the band (avoids dense materialisation)
+        k = len(offsets)
+        cols = np.clip(np.arange(n)[:, None] + np.array(offsets)[None, :], 0, n - 1)
+        ell_data = np.asarray(dia.data).T.copy()  # (n, k)
+        ell_idx = cols.astype(np.int32)
+        run_ell = power_chain(lambda v, x: ell_matvec(jnp.asarray(ell_idx), v, x))
+        results["ell_gather"] = nnz / _marginal_time(
+            run_ell, (jnp.asarray(ell_data),), lo=20, hi=120)
+    if verbose:
+        for kk, v in sorted(results.items(), key=lambda kv: -kv[1]):
+            print(f"# {kk:12s} {v / 1e9:8.3f} Gnnz/s", file=sys.stderr)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    results = bench_spmv(args.n, verbose=not args.json_only)
+    best_name, best = max(results.items(), key=lambda kv: kv[1])
+    baseline = results.get("ell_gather", results["xla_dia"])
+    print(json.dumps({
+        "metric": f"spmv_power_iter_nnz_per_s_{args.n // 1000}k_{best_name}",
+        "value": round(best, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(best / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

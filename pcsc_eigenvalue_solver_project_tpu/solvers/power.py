@@ -31,15 +31,17 @@ from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
 from ..utils.prng import default_key, random_unit_vector
 
 
-@jax.jit
-def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
-                tol: jax.Array) -> EigenResult:
-    # max_iterations/tol ride as traced scalars: changing options never
-    # retriggers compilation (only shapes/dtypes/matrix kind do).
+def power_iteration_loop(matvec, vdot, norm, x0: jax.Array,
+                         max_iterations, tol) -> EigenResult:
+    """The power-iteration ``lax.while_loop`` kernel, generic over the
+    reduction primitives so the distributed path (``parallel/power.py``)
+    can reuse it with ``psum``-based ``vdot``/``norm`` inside ``shard_map``
+    while this module uses the plain single-chip ones.
+    """
     dtype = x0.dtype
     rdt = jnp.dtype(real_dtype_of(dtype))
 
-    z0 = M.matvec(x0)  # carried image A @ x
+    z0 = matvec(x0)  # carried image A @ x
 
     def cond(c):
         k, x, z, lam, initialized, converged, used, done = c
@@ -48,12 +50,12 @@ def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
     def body(c):
         k, x, z, lam, initialized, converged, used, done = c
         y = z  # == A @ x, computed at the end of the previous iteration
-        norm_y = jnp.linalg.norm(y).astype(rdt)
+        norm_y = norm(y).astype(rdt)
         breakdown = norm_y == 0
         safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y).astype(dtype)
         x_new = y / safe
-        z_new = M.matvec(x_new)
-        lam_new = jnp.vdot(x_new, z_new)  # x^H (A x): conjugates first arg like Eigen dot
+        z_new = matvec(x_new)
+        lam_new = vdot(x_new, z_new)  # x^H (A x): conjugates first arg like Eigen dot
         conv_now = jnp.logical_and(initialized,
                                    is_close_relative(lam_new, lam, tol))
         conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
@@ -80,6 +82,15 @@ def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
     )
     k, x, z, lam, initialized, converged, used, done = jax.lax.while_loop(cond, body, init)
     return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used, converged=converged)
+
+
+@jax.jit
+def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
+                tol: jax.Array) -> EigenResult:
+    # max_iterations/tol ride as traced scalars: changing options never
+    # retriggers compilation (only shapes/dtypes/matrix kind do).
+    return power_iteration_loop(M.matvec, jnp.vdot, jnp.linalg.norm, x0,
+                                max_iterations, tol)
 
 
 def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,

@@ -1,0 +1,103 @@
+"""SparseDIA format + Pallas DIA SpMV kernel tests.
+
+The kernel runs in interpreter mode on CPU (same program, no Mosaic), so
+its logic — window loads, lane rolls, seam blends, padding — is covered in
+CI; the real-chip numbers come from bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcsc_eigenvalue_solver_project_tpu import SolverOptions, SparseCSR, power_method
+from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
+from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full, laplacian_1d
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import dia_matvec
+
+
+class TestSparseDIAFormat:
+    def test_from_csr_roundtrip(self):
+        rng = np.random.default_rng(0)
+        a = np.zeros((10, 10))
+        for off in (-2, 0, 3):
+            idx = np.arange(max(0, -off), min(10, 10 - off))
+            a[idx, idx + off] = rng.random(len(idx))
+        dia = SparseDIA.from_csr(SparseCSR.from_dense(a))
+        assert dia.offsets == (-2, 0, 3)
+        np.testing.assert_allclose(np.asarray(dia.to_dense()), a, rtol=1e-12)
+
+    def test_matvec_vs_dense(self):
+        rng = np.random.default_rng(1)
+        m = laplacian_1d(50)
+        dia = SparseDIA.from_csr(m)
+        x = jnp.asarray(rng.random(50))
+        np.testing.assert_allclose(np.asarray(dia.matvec(x)),
+                                   np.asarray(m.matvec(x)), rtol=1e-12)
+
+    def test_rmatvec(self):
+        rng = np.random.default_rng(2)
+        a = np.diag(rng.random(8)) + np.diag(rng.random(6), 2)
+        dia = SparseDIA.from_csr(SparseCSR.from_dense(a))
+        x = jnp.asarray(rng.random(8))
+        np.testing.assert_allclose(np.asarray(dia.rmatvec(x)), a.T @ x, rtol=1e-12)
+
+    def test_diagonal_and_bandwidth(self):
+        dia = SparseDIA.from_csr(laplacian_1d(6))
+        np.testing.assert_allclose(np.asarray(dia.diagonal()), np.full(6, 2.0))
+        assert dia.bandwidth == 1
+
+    def test_non_square_rejected(self):
+        m = SparseCSR.from_coo([0], [1], [1.0], (2, 3))
+        with pytest.raises(ValueError, match="square"):
+            SparseDIA.from_csr(m)
+
+    def test_power_method_on_dia(self, key):
+        # SparseDIA satisfies the matrix protocol -> solvers work unchanged
+        dia = SparseDIA.from_csr(laplacian_1d(32))
+        res = power_method(dia, SolverOptions(tolerance=1e-12, max_iterations=20000),
+                           key=key)
+        lam_max = 2 - 2 * np.cos(32 * np.pi / 33)
+        assert bool(res.converged)
+        np.testing.assert_allclose(float(np.real(res.eigenvalue)), lam_max, rtol=1e-8)
+
+    def test_banded_full_generator(self):
+        dia = banded_full(64, bandwidth=3, seed=1, diag_boost=2.0)
+        assert dia.offsets == tuple(range(-3, 4))
+        d = np.asarray(dia.to_dense())
+        assert np.abs(np.tril(d, -4)).max() == 0
+        assert np.abs(np.triu(d, 4)).max() == 0
+
+
+class TestPallasKernelInterpret:
+    """Kernel logic via interpret mode (CPU)."""
+
+    @pytest.mark.parametrize("n,offsets", [
+        (16384, (-1, 0, 1)),
+        (16500, (-16, -3, 0, 7, 16)),        # non-multiple n -> padding path
+        (20000, tuple(range(-16, 17))),      # full band, two tiles + remainder
+        (16384, (-130, 0, 129)),             # |off| > 128: multi-row shifts
+    ])
+    def test_matches_xla(self, n, offsets):
+        rng = np.random.default_rng(42)
+        k = len(offsets)
+        vals = np.zeros((k, n), np.float32)
+        for d, off in enumerate(offsets):
+            vals[d] = rng.random(n)
+            if off > 0:
+                vals[d, n - off:] = 0
+            elif off < 0:
+                vals[d, :-off] = 0
+        vals = jnp.asarray(vals)
+        x = jnp.asarray(rng.random(n), jnp.float32)
+        y_ref = dia_matvec(vals, offsets, x, force="xla")
+        y_ker = dia_matvec(vals, offsets, x, force="interpret")
+        np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_auto_dispatch_on_cpu_uses_xla(self):
+        # on CPU the auto path must not attempt Mosaic compilation
+        dia = banded_full(20000, bandwidth=2, seed=0)
+        x = jnp.ones((20000,), jnp.float32)
+        y = dia.matvec(x)  # would raise if pallas were attempted on CPU
+        assert np.isfinite(np.asarray(y)).all()
