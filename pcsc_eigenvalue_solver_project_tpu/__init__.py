@@ -32,12 +32,16 @@ from .solvers.solve_shifted import solve_shifted
 from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
+from .solvers.arnoldi import arnoldi_eigenvalues
+from .matrix.dia import SparseDIA
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AbstractMatrix",
     "DenseMatrix",
+    "SparseDIA",
+    "arnoldi_eigenvalues",
     "EigenResult",
     "QROptions",
     "QRResult",

@@ -40,7 +40,11 @@ from ..utils.prng import default_key, random_unit_vector
 DENSE_FALLBACK_MAX_N = 2048
 
 
-def _run_loop(M: AbstractMatrix, solve, x0: jax.Array, max_iterations, tol) -> EigenResult:
+def inverse_power_loop(matvec, solve, vdot, norm, x0: jax.Array,
+                       max_iterations, tol) -> EigenResult:
+    """Generic shifted-inverse-power ``lax.while_loop`` kernel; the
+    distributed path (parallel/inverse_power.py) injects psum-based
+    ``vdot``/``norm`` and a Krylov ``solve`` running on shards."""
     dtype = x0.dtype
     rdt = jnp.dtype(real_dtype_of(dtype))
 
@@ -51,11 +55,11 @@ def _run_loop(M: AbstractMatrix, solve, x0: jax.Array, max_iterations, tol) -> E
     def body(c):
         k, x, lam, initialized, converged, used, done = c
         y = solve(x)  # (A - shift I) y = x   (shifted_inverse_power_solver.hpp:51)
-        norm_y = jnp.linalg.norm(y).astype(rdt)
+        norm_y = norm(y).astype(rdt)
         breakdown = norm_y == 0
         safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y).astype(dtype)
         x_new = y / safe
-        lam_new = jnp.vdot(x_new, M.matvec(x_new))  # Rayleigh quotient on A (:62)
+        lam_new = vdot(x_new, matvec(x_new))  # Rayleigh quotient on A (:62)
         conv_now = jnp.logical_and(initialized, is_close_relative(lam_new, lam, tol))
         conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
         return (
@@ -92,7 +96,8 @@ def _inverse_power_dense(a: jax.Array, shift: jax.Array, x0: jax.Array,
     def solve(x):
         return jsl.lu_solve((lu, piv), x)
 
-    return _run_loop(DenseMatrix(a), solve, x0, max_iterations, tol)
+    return inverse_power_loop(DenseMatrix(a).matvec, solve, jnp.vdot,
+                              jnp.linalg.norm, x0, max_iterations, tol)
 
 
 @partial(jax.jit, static_argnames=("inner_maxiter",))
@@ -105,7 +110,8 @@ def _inverse_power_krylov(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
         return solve_shifted_bicgstab(M.matvec, shift, x, diag=diag,
                                       tol=inner_tol, maxiter=inner_maxiter)
 
-    return _run_loop(M, solve, x0, max_iterations, tol)
+    return inverse_power_loop(M.matvec, solve, jnp.vdot, jnp.linalg.norm,
+                              x0, max_iterations, tol)
 
 
 def shifted_inverse_power_method(M: AbstractMatrix,

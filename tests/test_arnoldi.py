@@ -1,0 +1,78 @@
+"""Arnoldi solver tests: factorisation invariants and Ritz-value accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcsc_eigenvalue_solver_project_tpu import DenseMatrix, SparseCSR
+from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_random
+from pcsc_eigenvalue_solver_project_tpu.solvers.arnoldi import (
+    arnoldi_decomposition, arnoldi_eigenvalues)
+
+
+class TestDecomposition:
+    def test_arnoldi_relation_and_orthonormality(self):
+        rng = np.random.default_rng(0)
+        a = rng.random((40, 40))
+        m = 15
+        x0 = jnp.asarray(rng.random(40))
+        V, H, brk = arnoldi_decomposition(lambda v: jnp.asarray(a) @ v, x0, m)
+        V, H = np.asarray(V), np.asarray(H)
+        # A V_m = V_{m+1} H
+        np.testing.assert_allclose(a @ V[:m].T, V.T @ H, atol=1e-12)
+        np.testing.assert_allclose(V @ V.conj().T, np.eye(m + 1), atol=1e-10)
+        assert int(brk) == m
+
+    def test_breakdown_detected(self):
+        # e1 on a diagonal matrix: K_1 is invariant
+        a = np.diag([3.0, 2.0, 1.0])
+        V, H, brk = arnoldi_decomposition(lambda v: jnp.asarray(a) @ v,
+                                          jnp.array([1.0, 0.0, 0.0]), 3)
+        assert int(brk) == 1
+        assert np.asarray(H)[0, 0] == 3.0
+
+    def test_complex(self):
+        rng = np.random.default_rng(1)
+        a = rng.random((20, 20)) + 1j * rng.random((20, 20))
+        x0 = jnp.asarray(rng.random(20) + 1j * rng.random(20))
+        V, H, _ = arnoldi_decomposition(lambda v: jnp.asarray(a) @ v, x0, 10)
+        V, H = np.asarray(V), np.asarray(H)
+        np.testing.assert_allclose(a @ V[:10].T, V.T @ H, atol=1e-11)
+
+
+class TestRitzValues:
+    def test_well_separated_spectrum(self, key):
+        d = np.concatenate([[100.0, 50.0, 25.0], np.linspace(0.1, 1.0, 37)])
+        M = DenseMatrix.from_array(np.diag(d))
+        res = arnoldi_eigenvalues(M, k=3, m=25, key=key)
+        got = np.sort(np.asarray(res.eigenvalues).real)[::-1]
+        np.testing.assert_allclose(got, [100.0, 50.0, 25.0], rtol=1e-8)
+
+    def test_nonsymmetric_sparse(self, key):
+        ms = banded_random(300, bandwidth=5, nnz_per_row=6, seed=3)
+        res = arnoldi_eigenvalues(ms, k=3, m=60, key=key)
+        exact = np.linalg.eigvals(np.asarray(ms.to_dense()))
+        exact = exact[np.argsort(-np.abs(exact))][:3]
+        got = np.asarray(res.eigenvalues)
+        for e in exact:
+            assert min(abs(got - e)) < 1e-5
+
+    def test_exact_when_m_equals_n(self, key):
+        rng = np.random.default_rng(5)
+        a = rng.random((12, 12))
+        res = arnoldi_eigenvalues(DenseMatrix.from_array(a), k=12, m=12, key=key)
+        got = np.asarray(res.eigenvalues)
+        exact = np.linalg.eigvals(a)
+        for e in exact:
+            assert min(abs(got - e)) < 1e-7
+
+    def test_errors(self):
+        M = DenseMatrix.from_array(np.ones((2, 3)))
+        with pytest.raises(ValueError, match="square"):
+            arnoldi_eigenvalues(M)
+        M2 = DenseMatrix.from_array(np.eye(4))
+        with pytest.raises(ValueError, match="k .4. must be <= m"):
+            arnoldi_eigenvalues(M2, k=4, m=3)
+        with pytest.raises(TypeError, match="scalar type mismatch"):
+            arnoldi_eigenvalues(M2, k=1, dtype=np.complex128)
