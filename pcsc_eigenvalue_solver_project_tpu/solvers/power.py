@@ -31,17 +31,29 @@ from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
 from ..utils.prng import default_key, random_unit_vector
 
 
-def power_iteration_loop(matvec, vdot, norm, x0: jax.Array,
-                         max_iterations, tol) -> EigenResult:
-    """The power-iteration ``lax.while_loop`` kernel, generic over the
-    reduction primitives so the distributed path (``parallel/power.py``)
-    can reuse it with ``psum``-based ``vdot``/``norm`` inside ``shard_map``
-    while this module uses the plain single-chip ones.
-    """
-    dtype = x0.dtype
-    rdt = jnp.dtype(real_dtype_of(dtype))
+def power_init_carry(matvec, x0: jax.Array):
+    """Initial loop carry: (k, x, z=A@x, lambda, initialized, converged,
+    used_iterations, done). Exposed so chunked/resumable drivers
+    (utils/checkpoint.py) can persist and re-enter the loop."""
+    return (
+        jnp.zeros((), jnp.int32),
+        x0,
+        matvec(x0),
+        jnp.zeros((), x0.dtype),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(False),
+    )
 
-    z0 = matvec(x0)  # carried image A @ x
+
+def power_carry_loop(matvec, vdot, norm, carry, max_iterations, tol):
+    """Advance the power-iteration carry until ``k == max_iterations`` or
+    convergence/breakdown. Generic over the reduction primitives so the
+    distributed path (``parallel/power.py``) can inject ``psum``-based
+    ``vdot``/``norm`` inside ``shard_map``."""
+    dtype = carry[1].dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
 
     def cond(c):
         k, x, z, lam, initialized, converged, used, done = c
@@ -70,18 +82,21 @@ def power_iteration_loop(matvec, vdot, norm, x0: jax.Array,
             jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
         )
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        x0,
-        z0,
-        jnp.zeros((), dtype),
-        jnp.asarray(False),
-        jnp.asarray(False),
-        jnp.zeros((), jnp.int32),
-        jnp.asarray(False),
-    )
-    k, x, z, lam, initialized, converged, used, done = jax.lax.while_loop(cond, body, init)
-    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used, converged=converged)
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def carry_to_result(carry) -> EigenResult:
+    k, x, z, lam, initialized, converged, used, done = carry
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used,
+                       converged=converged)
+
+
+def power_iteration_loop(matvec, vdot, norm, x0: jax.Array,
+                         max_iterations, tol) -> EigenResult:
+    """Run the full power iteration from a fresh start vector."""
+    carry = power_carry_loop(matvec, vdot, norm, power_init_carry(matvec, x0),
+                             max_iterations, tol)
+    return carry_to_result(carry)
 
 
 @jax.jit
