@@ -45,10 +45,10 @@ class SparseDIA(AbstractMatrix):
         rows = np.asarray(m.rows)
         cols = np.asarray(m.indices)
         vals = np.asarray(m.data)
-        offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
-        off_index = {int(o): i for i, o in enumerate(offs)}
+        diffs = cols.astype(np.int64) - rows.astype(np.int64)
+        offs = np.unique(diffs)
         data = np.zeros((len(offs), n), dtype=m.dtype)
-        d_ids = np.array([off_index[int(c) - int(r)] for r, c in zip(rows, cols)])
+        d_ids = np.searchsorted(offs, diffs)
         data[d_ids, rows] = vals
         return SparseDIA(data=jnp.asarray(data),
                          offsets=tuple(int(o) for o in offs), shape=(n, n))

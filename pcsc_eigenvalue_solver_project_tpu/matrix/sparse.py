@@ -146,10 +146,11 @@ class SparseCSR(AbstractMatrix):
         val = np.zeros((n_rows, width), dtype=self.dtype)
         data = np.asarray(self.data)
         cols = np.asarray(self.indices)
-        for i in range(n_rows):
-            lo, hi = indptr[i], indptr[i + 1]
-            idx[i, : hi - lo] = cols[lo:hi]
-            val[i, : hi - lo] = data[lo:hi]
+        rows = np.asarray(self.rows)
+        # vectorised packing: position of each nnz within its row
+        slot = np.arange(len(rows)) - indptr[rows]
+        idx[rows, slot] = cols
+        val[rows, slot] = data
         return SparseELL(data=jnp.asarray(val), indices=jnp.asarray(idx),
                          shape=self.shape)
 

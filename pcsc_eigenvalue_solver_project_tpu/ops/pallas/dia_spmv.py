@@ -68,6 +68,119 @@ def _dia_kernel(x_ref, vals_ref, out_ref, *, offsets, pr, tile_rows):
     out_ref[...] = acc
 
 
+def _dia_complex_kernel(x_ref, vals_ref, out_ref, *, offsets, pr, tile_rows):
+    """Split-plane complex tile: planes stacked on a leading axis of size 2
+    (0=re, 1=im). One pass reads both value planes and both x planes and
+    emits y_re = Ar xr - Ai xi, y_im = Ar xi + Ai xr — the fused complex
+    SpMV (Pallas has no complex dtypes; this is the idiomatic carry)."""
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    row_base = pl.multiple_of(i * tile_rows, tile_rows)
+    w_re = x_ref[0, pl.ds(row_base, tile_rows + 2 * pr), :]
+    w_im = x_ref[1, pl.ds(row_base, tile_rows + 2 * pr), :]
+
+    by_r: dict = {}
+    for d, off in enumerate(offsets):
+        q, r = divmod(off, LANES)
+        by_r.setdefault(r, []).append((d, q))
+
+    acc_re = jnp.zeros((tile_rows, LANES), w_re.dtype)
+    acc_im = jnp.zeros((tile_rows, LANES), w_re.dtype)
+    for r, items in by_r.items():
+        wr = w_re if r == 0 else pltpu.roll(w_re, LANES - r, 1)
+        wi = w_im if r == 0 else pltpu.roll(w_im, LANES - r, 1)
+        for d, q in items:
+            a_re = jax.lax.slice_in_dim(wr, pr + q, pr + q + tile_rows, axis=0)
+            a_im = jax.lax.slice_in_dim(wi, pr + q, pr + q + tile_rows, axis=0)
+            if r == 0:
+                seg_re, seg_im = a_re, a_im
+            else:
+                b_re = jax.lax.slice_in_dim(wr, pr + q + 1, pr + q + 1 + tile_rows, axis=0)
+                b_im = jax.lax.slice_in_dim(wi, pr + q + 1, pr + q + 1 + tile_rows, axis=0)
+                sel = lane < LANES - r
+                seg_re = jnp.where(sel, a_re, b_re)
+                seg_im = jnp.where(sel, a_im, b_im)
+            vre = vals_ref[0, d]
+            vim = vals_ref[1, d]
+            acc_re = acc_re + vre * seg_re - vim * seg_im
+            acc_im = acc_im + vre * seg_im + vim * seg_re
+    out_ref[0] = acc_re
+    out_ref[1] = acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile_rows", "interpret"))
+def _dia_matvec_pallas_planes(vals_p: jax.Array, x_p: jax.Array, offsets: tuple,
+                              tile_rows: int, interpret: bool) -> jax.Array:
+    """Split-plane complex SpMV: vals_p (2, k, n) real, x_p (2, n) real ->
+    (2, n) real. The on-TPU complex representation (no complex dtypes exist
+    on this backend)."""
+    _, k, n = vals_p.shape
+    rows = -(-n // (tile_rows * LANES)) * tile_rows
+    n_pad = rows * LANES
+    bw = max((abs(o) for o in offsets), default=0)
+    pr = max(-(-bw // LANES), 1)
+    rdt = vals_p.dtype
+
+    x2 = jnp.zeros((2, rows + 2 * pr, LANES), rdt)
+    x2 = x2.at[:, pr:pr + rows, :].set(
+        jnp.pad(x_p, ((0, 0), (0, n_pad - n))).reshape(2, rows, LANES))
+    vals3 = jnp.pad(vals_p, ((0, 0), (0, 0), (0, n_pad - n))).reshape(
+        2, k, rows, LANES)
+
+    grid = (rows // tile_rows,)
+    out = pl.pallas_call(
+        functools.partial(_dia_complex_kernel, offsets=offsets, pr=pr,
+                          tile_rows=tile_rows),
+        out_shape=jax.ShapeDtypeStruct((2, rows, LANES), rdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, k, tile_rows, LANES), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile_rows, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * k * n, transcendentals=0,
+            bytes_accessed=(2 * k * n + 4 * n) * jnp.dtype(rdt).itemsize),
+        interpret=interpret,
+    )(x2, vals3)
+    return out.reshape(2, n_pad)[:, :n]
+
+
+def dia_matvec_planes(vals_p: jax.Array, offsets: tuple, x_p: jax.Array, *,
+                      tile_rows: int = DEFAULT_TILE_ROWS,
+                      force: str | None = None) -> jax.Array:
+    """Split-plane banded complex SpMV dispatch (real arrays only).
+
+    ``vals_p`` (2, k, n), ``x_p`` (2, n); returns (2, n). ``force`` as in
+    ``dia_matvec``. The XLA fallback uses plane arithmetic, so this runs on
+    every backend including TPUs without complex support.
+    """
+    _, k, n = vals_p.shape
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_p.dtype == jnp.float32 and n >= tile_rows * LANES))
+    if use_pallas:
+        return _dia_matvec_pallas_planes(vals_p, x_p, tuple(offsets),
+                                         tile_rows, interpret)
+
+    yr = jnp.zeros((n,), vals_p.dtype)
+    yi = jnp.zeros((n,), vals_p.dtype)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            sr = jnp.pad(x_p[0, off:], (0, off)) if off else x_p[0]
+            si = jnp.pad(x_p[1, off:], (0, off)) if off else x_p[1]
+        else:
+            sr = jnp.pad(x_p[0, :off], (-off, 0))
+            si = jnp.pad(x_p[1, :off], (-off, 0))
+        vr, vi = vals_p[0, d], vals_p[1, d]
+        yr = yr + vr * sr - vi * si
+        yi = yi + vr * si + vi * sr
+    return jnp.stack([yr, yi])
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_rows", "interpret"))
 def _dia_matvec_pallas(vals: jax.Array, x: jax.Array, offsets: tuple,
                        tile_rows: int, interpret: bool) -> jax.Array:
@@ -125,11 +238,22 @@ def dia_matvec(vals: jax.Array, offsets: tuple, x: jax.Array, *,
     elif force == "xla":
         use_pallas = False
     else:
-        # float32 on a TPU-ish backend; complex/f64 take the XLA path
-        use_pallas = (_backend_supports_pallas() and vals.dtype == jnp.float32
+        # f32/c64 on a TPU-ish backend; f64/c128 take the XLA path
+        use_pallas = (_backend_supports_pallas()
+                      and vals.dtype in (jnp.float32, jnp.complex64)
                       and n >= tile_rows * LANES)
 
     if use_pallas:
+        if vals.dtype in (jnp.complex64, jnp.complex128):
+            # complex arrays exist only off-TPU here: split to planes, run
+            # the split-plane kernel, rejoin
+            vals_p = jnp.stack([jnp.real(vals), jnp.imag(vals)]).astype(
+                jnp.float32 if vals.dtype == jnp.complex64 else jnp.float64)
+            x_c = jnp.asarray(x, vals.dtype)
+            x_p = jnp.stack([jnp.real(x_c), jnp.imag(x_c)]).astype(vals_p.dtype)
+            out = _dia_matvec_pallas_planes(vals_p, x_p, tuple(offsets),
+                                            tile_rows, interpret)
+            return (out[0] + 1j * out[1]).astype(vals.dtype)
         return _dia_matvec_pallas(vals, x, tuple(offsets), tile_rows, interpret)
 
     y = jnp.zeros_like(x)

@@ -108,6 +108,89 @@ def _power_loop(M: AbstractMatrix, x0: jax.Array, max_iterations: jax.Array,
                                 max_iterations, tol)
 
 
+@jax.jit
+def _power_loop_split(M, x0: jax.Array, max_iterations: jax.Array,
+                      tol: jax.Array) -> EigenResult:
+    """Split-plane complex power loop: x is (2, n) real planes, lambda a
+    (2,) scalar. Same structure and stopping semantics as the complex-dtype
+    loop — runs on TPUs with no complex dtype support."""
+    from ..ops.split_complex import (splitc_is_close_relative, splitc_norm,
+                                     splitc_vdot)
+    rdt = x0.dtype
+
+    def cond(c):
+        k, x, z, lam, initialized, converged, used, done = c
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        k, x, z, lam, initialized, converged, used, done = c
+        y = z
+        norm_y = splitc_norm(y)
+        breakdown = norm_y == 0
+        safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y)
+        x_new = y / safe
+        z_new = M.matvec(x_new)
+        lam_new = splitc_vdot(x_new, z_new)
+        conv_now = jnp.logical_and(initialized,
+                                   splitc_is_close_relative(lam_new, lam, tol))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        return (
+            k + 1,
+            jnp.where(breakdown, x, x_new),
+            jnp.where(breakdown, z, z_new),
+            jnp.where(breakdown, lam, lam_new),
+            jnp.logical_or(initialized, jnp.logical_not(breakdown)),
+            jnp.logical_or(converged, conv_now),
+            k + 1,
+            jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        M.matvec(x0),
+        jnp.zeros((2,), rdt),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(False),
+    )
+    k, x, z, lam, initialized, converged, used, done = jax.lax.while_loop(
+        cond, body, init)
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used,
+                       converged=converged)
+
+
+def power_method_split_complex(M, opts: SolverOptions = SolverOptions(), *,
+                               key=None, x0=None) -> EigenResult:
+    """Power iteration on a split-plane complex operator
+    (matrix/split_complex.py). ``EigenResult.eigenvalue`` is a (2,) plane
+    scalar and ``eigenvector`` a (2, n) plane vector; convert on host with
+    ``ops.split_complex.from_planes``."""
+    n = M.shape[0]
+    if M.shape[0] != M.shape[1]:
+        raise ValueError("power_method: matrix must be square")
+    if n == 0:
+        raise ValueError("power_method: matrix has zero size")
+    rdt = jnp.dtype(M.dtype)
+    if x0 is None:
+        # uniform [-1,1] re/im planes (Eigen Random-complex analogue),
+        # generated as real arrays so no complex op ever reaches the device
+        x0 = jax.random.uniform(key if key is not None else default_key(),
+                                (2, n), rdt, minval=-1.0, maxval=1.0)
+        nrm = jnp.sqrt(jnp.sum(x0 * x0))
+        x0 = x0 / jnp.where(nrm == 0, 1, nrm)
+    else:
+        x0 = jnp.asarray(x0, rdt)
+        if x0.shape != (2, n):
+            raise ValueError("power_method_split_complex: x0 must be (2, n) planes")
+        nrm = jnp.sqrt(jnp.sum(x0 * x0))
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm))
+    return _power_loop_split(M, x0,
+                             jnp.asarray(opts.max_iterations, jnp.int32),
+                             jnp.asarray(opts.tolerance, rdt))
+
+
 def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
                  dtype=None, key=None, x0=None) -> EigenResult:
     """Dominant-eigenpair power iteration on a dense or sparse matrix.

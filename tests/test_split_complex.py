@@ -1,0 +1,133 @@
+"""Split-plane complex subsystem tests.
+
+The TPU backend has no complex dtypes, so complex eigenproblems run as
+(2, n) real planes (matrix/split_complex.py, ops/split_complex.py). These
+tests pin the plane algebra against numpy complex, the fused kernel
+against the XLA plane path, and the split power method against the
+complex-dtype solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcsc_eigenvalue_solver_project_tpu import SolverOptions, SparseCSR, power_method
+from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
+from pcsc_eigenvalue_solver_project_tpu.matrix.split_complex import SplitComplexDIA
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import dia_matvec_planes
+from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import (
+    from_planes, splitc_div_scalar, splitc_is_close_relative, splitc_mul,
+    splitc_norm, splitc_vdot, to_planes)
+from pcsc_eigenvalue_solver_project_tpu.solvers.power import (
+    power_method_split_complex)
+
+
+def _rand_band(n, offsets, seed, dtype=np.complex128):
+    rng = np.random.default_rng(seed)
+    k = len(offsets)
+    data = (rng.random((k, n)) + 1j * rng.random((k, n))).astype(dtype)
+    for d, off in enumerate(offsets):
+        if off > 0:
+            data[d, n - off:] = 0
+        elif off < 0:
+            data[d, :-off] = 0
+    return data
+
+
+class TestPlaneAlgebra:
+    def test_roundtrip(self):
+        z = np.array([1 + 2j, -3 + 0.5j])
+        np.testing.assert_allclose(from_planes(to_planes(z)), z)
+
+    def test_mul_vdot_norm(self):
+        rng = np.random.default_rng(0)
+        a = rng.random(10) + 1j * rng.random(10)
+        b = rng.random(10) + 1j * rng.random(10)
+        ap, bp = to_planes(a), to_planes(b)
+        np.testing.assert_allclose(from_planes(splitc_mul(ap, bp)), a * b, rtol=1e-12)
+        np.testing.assert_allclose(complex(from_planes(splitc_vdot(ap, bp))),
+                                   np.vdot(a, b), rtol=1e-12)
+        np.testing.assert_allclose(float(splitc_norm(ap)), np.linalg.norm(a),
+                                   rtol=1e-12)
+
+    def test_div_scalar(self):
+        a = to_planes(np.array([4 + 2j, 1 - 1j]))
+        s = to_planes(np.array(2 - 1j)).reshape(2)
+        np.testing.assert_allclose(from_planes(splitc_div_scalar(a, s)),
+                                   np.array([4 + 2j, 1 - 1j]) / (2 - 1j), rtol=1e-12)
+
+    def test_is_close_relative_matches_complex(self):
+        a, b = 3 + 4j, 3 + 4j + 5.9e-9
+        assert bool(splitc_is_close_relative(to_planes(np.array(a)).reshape(2),
+                                             to_planes(np.array(b)).reshape(2),
+                                             1e-9))
+
+
+class TestSplitKernel:
+    @pytest.mark.parametrize("n,offsets", [
+        (16384, (-1, 0, 1)),
+        (20000, tuple(range(-8, 9))),
+        (16384, (-130, 0, 129)),
+    ])
+    def test_interpret_matches_xla_planes(self, n, offsets):
+        data = _rand_band(n, offsets, 7, np.complex64)
+        planes = jnp.asarray(np.stack([data.real, data.imag]).astype(np.float32))
+        rng = np.random.default_rng(8)
+        xp = jnp.asarray(rng.random((2, n)).astype(np.float32))
+        y_ref = dia_matvec_planes(planes, offsets, xp, force="xla")
+        y_ker = dia_matvec_planes(planes, offsets, xp, force="interpret")
+        np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_planes_match_complex_matvec(self):
+        n = 300
+        offsets = (-2, 0, 3)
+        data = _rand_band(n, offsets, 9)
+        dia = SparseDIA(data=jnp.asarray(data), offsets=offsets, shape=(n, n))
+        M = SplitComplexDIA.from_complex_dia(dia, precision=np.float64)
+        rng = np.random.default_rng(10)
+        x = rng.random(n) + 1j * rng.random(n)
+        y_complex = np.asarray(dia.matvec(jnp.asarray(x)))
+        y_planes = from_planes(np.asarray(M.matvec(to_planes(x))))
+        np.testing.assert_allclose(y_planes, y_complex, rtol=1e-10)
+
+
+class TestSplitPowerMethod:
+    def test_matches_complex_solver(self, key):
+        n = 64
+        offsets = (-1, 0, 1)
+        data = _rand_band(n, offsets, 11)
+        dia = SparseDIA(data=jnp.asarray(data), offsets=offsets, shape=(n, n))
+        M = SplitComplexDIA.from_complex_dia(dia, precision=np.float64)
+
+        x0c = np.asarray(jax.random.uniform(key, (2, n), jnp.float64,
+                                            minval=-1, maxval=1))
+        x0_complex = x0c[0] + 1j * x0c[1]
+
+        ref = power_method(dia, SolverOptions(tolerance=1e-10), x0=x0_complex)
+        res = power_method_split_complex(M, SolverOptions(tolerance=1e-10), x0=x0c)
+        lam = complex(from_planes(np.asarray(res.eigenvalue)))
+        np.testing.assert_allclose(lam, complex(ref.eigenvalue), rtol=1e-9)
+        assert int(res.iterations) == int(ref.iterations)
+        assert bool(res.converged) == bool(ref.converged)
+
+    def test_against_dense_oracle(self, key):
+        n = 120
+        offsets = tuple(range(-3, 4))
+        data = _rand_band(n, offsets, 12)
+        dia = SparseDIA(data=jnp.asarray(data), offsets=offsets, shape=(n, n))
+        M = SplitComplexDIA.from_complex_dia(dia, precision=np.float64)
+        res = power_method_split_complex(M, SolverOptions(tolerance=1e-11,
+                                                          max_iterations=20000),
+                                         key=key)
+        assert bool(res.converged)
+        lam = complex(from_planes(np.asarray(res.eigenvalue)))
+        eigs = np.linalg.eigvals(M.to_complex_dense())
+        dom = eigs[np.argmax(np.abs(eigs))]
+        np.testing.assert_allclose(lam, dom, rtol=1e-7)
+
+    def test_errors(self):
+        M = SplitComplexDIA(planes=jnp.zeros((2, 1, 4)), offsets=(0,), shape=(4, 5))
+        with pytest.raises(ValueError, match="square"):
+            power_method_split_complex(M)
