@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dtypes import check_scalar_type, complex_dtype_of, real_dtype_of
 from ..core.options import QROptions, SolverOptions
@@ -187,6 +188,211 @@ def _qr_eigenvalues_accel(a: jax.Array, max_sweeps: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# accelerated mode, real arithmetic (TPU path: no complex dtypes exist on
+# this backend) — single-shift real QR with 1x1/2x2 deflation; complex
+# conjugate pairs are extracted analytically from trailing 2x2 blocks into
+# (re, im) plane buffers.
+# ---------------------------------------------------------------------------
+
+def _eig2x2_planes(a, b, c, d):
+    """Eigenvalues of a real 2x2 [[a,b],[c,d]] as ((re1,im1),(re2,im2))."""
+    half_tr = (a + d) / 2.0
+    delta = (a - d) / 2.0
+    disc = delta * delta + b * c
+    s = jnp.sqrt(jnp.abs(disc))
+    real_case = disc >= 0
+    re1 = jnp.where(real_case, half_tr + s, half_tr)
+    re2 = jnp.where(real_case, half_tr - s, half_tr)
+    im1 = jnp.where(real_case, jnp.zeros_like(s), s)
+    im2 = -im1
+    return (re1, im1), (re2, im2)
+
+
+def _householder3(x, y, z, use_z):
+    """3-vector Householder P = I - 2 v v^T zeroing y (and z when use_z).
+
+    Returns the 3x3 P; acts as identity when the vector is already
+    aligned (degenerate norm)."""
+    rdt = x.dtype
+    z = jnp.where(use_z, z, jnp.zeros((), rdt))
+    nrm = jnp.sqrt(x * x + y * y + z * z)
+    sign = jnp.where(x >= 0, jnp.ones((), rdt), -jnp.ones((), rdt))
+    alpha = -sign * nrm
+    v0 = x - alpha
+    v = jnp.stack([v0, y, z])
+    vn2 = v0 * v0 + y * y + z * z
+    degenerate = vn2 == 0
+    safe = jnp.where(degenerate, jnp.ones((), rdt), vn2)
+    P = jnp.eye(3, dtype=rdt) - (2.0 / safe) * jnp.outer(v, v)
+    return jnp.where(degenerate, jnp.eye(3, dtype=rdt), P)
+
+
+def _francis_sweep(H, lo, hi):
+    """One implicit double-shift (Francis) QR sweep on the trailing
+    unreduced block H[lo:hi, lo:hi] via bulge chasing — the textbook real
+    algorithm: the shift pair is the trailing 2x2's eigenvalues (complex
+    pairs included, all in real arithmetic), each chase step applies a 3x3
+    Householder similarity to three rows/columns.
+
+    ``lo`` MUST be the top of the trailing unreduced block (first row
+    below a negligible subdiagonal): starting the bulge higher lets it die
+    at the tiny subdiagonal and destroys shift transmission (the classic
+    stall). Caller guarantees hi - lo >= 3.
+    """
+    n = H.shape[0]
+    rdt = H.dtype
+
+    # shift pair (s = sum, t = product) from the trailing 2x2
+    a_ = H[hi - 2, hi - 2]
+    b_ = H[hi - 2, hi - 1]
+    c_ = H[hi - 1, hi - 2]
+    d_ = H[hi - 1, hi - 1]
+    s = a_ + d_
+    t = a_ * d_ - b_ * c_
+
+    # first column of (H - l1 I)(H - l2 I) restricted to the block
+    h00 = H[lo, lo]
+    h10 = H[lo + 1, lo]
+    x0 = h00 * h00 + H[lo, lo + 1] * h10 - s * h00 + t
+    y0 = h10 * (h00 + H[lo + 1, lo + 1] - s)
+    z0 = h10 * H[lo + 2, lo + 1]
+
+    def chase(k, Hc):
+        first = k == lo
+        x = jnp.where(first, x0, Hc[k, k - 1])
+        y = jnp.where(first, y0, Hc[k + 1, k - 1])
+        z = jnp.where(first, z0, Hc[k + 2, k - 1])
+        use_z = k <= hi - 3  # last position only needs a 2-rotation
+        P = _householder3(x, y, z, use_z)
+        # guard the z row when the bulge is only 2 tall
+        P = jnp.where(use_z, P,
+                      P.at[:, 2].set(jnp.array([0, 0, 1], rdt)).at[2, :].set(
+                          jnp.array([0, 0, 1], rdt)))
+        k0 = jnp.asarray(k, jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        rows = jax.lax.dynamic_slice(Hc, (k0, zero), (3, n))
+        Hc = jax.lax.dynamic_update_slice(Hc, P @ rows, (k0, zero))
+        cols = jax.lax.dynamic_slice(Hc, (zero, k0), (n, 3))
+        Hc = jax.lax.dynamic_update_slice(Hc, cols @ P.T, (zero, k0))
+        return Hc
+
+    # chase k = lo .. hi-3; the leftover bulge element is cleaned by the
+    # explicit 2x2 rotation below.
+    H = jax.lax.fori_loop(lo, hi - 2, chase, H)
+
+    # final step: zero the leftover bulge H[hi-1, hi-3] with a 2-rotation
+    # of rows/cols (hi-2, hi-1)
+    x = H[hi - 2, hi - 3]
+    y = H[hi - 1, hi - 3]
+    r = jnp.sqrt(x * x + y * y)
+    zero = r == 0
+    safe = jnp.where(zero, jnp.ones((), rdt), r)
+    cth = jnp.where(zero, jnp.ones((), rdt), x / safe)
+    sth = jnp.where(zero, jnp.zeros((), rdt), y / safe)
+    rk = H[hi - 2, :]
+    rk1 = H[hi - 1, :]
+    H = H.at[hi - 2, :].set(cth * rk + sth * rk1)
+    H = H.at[hi - 1, :].set(-sth * rk + cth * rk1)
+    ck = H[:, hi - 2]
+    ck1 = H[:, hi - 1]
+    H = H.at[:, hi - 2].set(cth * ck + sth * ck1)
+    H = H.at[:, hi - 1].set(-sth * ck + cth * ck1)
+    return H
+
+
+@jax.jit
+def _qr_eigenvalues_accel_real(a: jax.Array, max_sweeps: jax.Array,
+                               tol: jax.Array):
+    """Real-arithmetic accelerated QR. Returns (eig_planes (2, n),
+    iterations, converged). Runs on backends with no complex support."""
+    n = a.shape[0]
+    rdt = a.dtype
+    tol = tol.astype(rdt)
+
+    if n == 0:
+        return jnp.zeros((2, 0), rdt), jnp.zeros((), jnp.int32), jnp.asarray(True)
+    if n == 1:
+        planes = jnp.stack([jnp.diagonal(a), jnp.zeros((1,), rdt)])
+        return planes, jnp.zeros((), jnp.int32), jnp.asarray(True)
+
+    H0 = hessenberg_dense(a)
+    eig0 = jnp.zeros((2, n), rdt)
+
+    def small(H, i):
+        # |H[i, i-1]| negligible relative to its diagonal neighbourhood
+        sub = jnp.abs(H[i, i - 1])
+        scale = jnp.abs(H[i - 1, i - 1]) + jnp.abs(H[i, i])
+        return sub <= tol * jnp.maximum(scale, jnp.ones((), rdt))
+
+    def write1(eig, i, v):
+        return eig.at[0, i].set(v)
+
+    def write2(eig, i, H):
+        (r1, i1), (r2, i2) = _eig2x2_planes(H[i, i], H[i, i + 1],
+                                            H[i + 1, i], H[i + 1, i + 1])
+        eig = eig.at[0, i].set(r1).at[1, i].set(i1)
+        return eig.at[0, i + 1].set(r2).at[1, i + 1].set(i2)
+
+    if n == 2:  # static: solve analytically, never trace the chase loop
+        return (write2(eig0, 0, H0), jnp.zeros((), jnp.int32), jnp.asarray(True))
+
+    def deflate(state):
+        def d_cond(s):
+            H, hi, eig = s
+            can1 = jnp.logical_and(hi >= 2, small(H, hi - 1))
+            can2 = jnp.logical_and(hi >= 3, small(H, hi - 2))
+            return jnp.logical_and(hi > 2, jnp.logical_or(can1, can2))
+
+        def d_body(s):
+            H, hi, eig = s
+            can1 = small(H, hi - 1)
+            eig1 = write1(eig, hi - 1, H[hi - 1, hi - 1])
+            eig2 = write2(eig, hi - 2, H)
+            eig = jnp.where(can1, eig1, eig2)
+            hi = jnp.where(can1, hi - 1, hi - 2)
+            return (H, hi, eig)
+
+        return jax.lax.while_loop(d_cond, d_body, state)
+
+    def cond(c):
+        H, hi, eig, sweeps = c
+        return jnp.logical_and(hi > 2, sweeps < max_sweeps)
+
+    idx = jnp.arange(n)
+
+    def find_lo(H, hi):
+        """Top of the trailing unreduced block: the largest i < hi with a
+        negligible subdiagonal H[i, i-1] (0 if none)."""
+        if n < 2:
+            return jnp.zeros((), jnp.int32)
+        sub = jnp.abs(jnp.diagonal(H, offset=-1))  # entry i -> H[i+1, i]
+        d = jnp.abs(jnp.diagonal(H))
+        scale = jnp.maximum(d[:-1] + d[1:], jnp.ones((), rdt))
+        negligible = sub <= tol * scale
+        i = idx[1:]  # subdiag entry H[i, i-1] corresponds to position i
+        cand = jnp.where(jnp.logical_and(negligible, i < hi), i, 0)
+        return jnp.max(cand).astype(jnp.int32)
+
+    def body(c):
+        H, hi, eig, sweeps = c
+        lo = find_lo(H, hi)
+        H = _francis_sweep(H, lo, hi)  # cond + deflate guarantee hi - lo >= 3
+        H, hi, eig = deflate((H, hi, eig))
+        return H, hi, eig, sweeps + 1
+
+    H, hi0, eig = deflate((H0, jnp.asarray(n, jnp.int32), eig0))
+    H, hi, eig, sweeps = jax.lax.while_loop(
+        cond, body, (H, hi0, eig, jnp.zeros((), jnp.int32)))
+
+    # finish the trailing <=2 window analytically
+    eig_f1 = write1(eig, 0, H[0, 0])                     # hi == 1
+    eig_f2 = write2(eig, 0, H)                           # hi == 2
+    eig = jnp.where(hi == 1, eig_f1, jnp.where(hi == 2, eig_f2, eig))
+    converged = hi <= 2
+    return eig, sweeps, converged
+
+
+# ---------------------------------------------------------------------------
 # public wrapper
 # ---------------------------------------------------------------------------
 
@@ -210,9 +416,18 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
     a = M.as_dense()
     if mode == "parity":
         return _qr_eigenvalues_parity(a, max_it, jnp.asarray(opts.tolerance, ftype))
-    # accelerated: complex arithmetic so real matrices with conjugate
-    # eigenvalue pairs converge.
+    # accelerated mode
     dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
         opts.deflation_tolerance is not None else opts.tolerance
+    if np.dtype(M.dtype).kind != "c":
+        # real input: real-arithmetic Schur variant — complex conjugate
+        # pairs come out of analytic 2x2 deflation, and no complex dtype
+        # ever reaches the device (required on this TPU backend)
+        planes, sweeps, converged = _qr_eigenvalues_accel_real(
+            a, max_it, jnp.asarray(dtol, ftype))
+        p = np.asarray(jax.device_get(planes))
+        cdt = np.complex64 if p.dtype == np.float32 else np.complex128
+        eigs = (p[0] + 1j * p[1]).astype(cdt)
+        return QRResult(eigenvalues=eigs, iterations=sweeps, converged=converged)
     a = a.astype(jnp.dtype(complex_dtype_of(a.dtype)))
     return _qr_eigenvalues_accel(a, max_it, jnp.asarray(dtol, ftype))
