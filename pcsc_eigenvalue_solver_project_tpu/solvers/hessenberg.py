@@ -36,17 +36,23 @@ def hessenberg_dense(a: jax.Array) -> jax.Array:
     idx = jnp.arange(n)
 
     def body(k, H):
-        col = H[:, k]
+        # All index-dependent selections are mask arithmetic (iota
+        # compares + where/sum) — no dynamic gather/scatter. Besides being
+        # clean vector code, this avoids a remote-compiler pathology on
+        # the axon TPU backend where dynamic-indexed loop bodies at n>=40
+        # hang compilation.
+        col = H @ jnp.where(idx == k, jnp.ones((), dtype), jnp.zeros((), dtype))
         # x = H[k+1:, k] embedded in a full-length vector
         x = jnp.where(idx >= k + 1, col, jnp.zeros((), dtype))
         norm_x = jnp.linalg.norm(x).astype(rdt)
         tail_zero = jnp.linalg.norm(jnp.where(idx >= k + 2, col, jnp.zeros((), dtype))) == 0
 
-        x0 = col[k + 1]
+        e_next = jnp.where(idx == k + 1, jnp.ones((), dtype), jnp.zeros((), dtype))
+        x0 = jnp.sum(col * e_next)
         sign = jnp.where(x0 != 0, x0 / jnp.abs(x0).astype(dtype), jnp.ones((), dtype))
         alpha = -sign * norm_x.astype(dtype)
 
-        v = x.at[k + 1].add(-alpha)
+        v = x - alpha * e_next
         vnorm = jnp.linalg.norm(v).astype(rdt)
         degenerate = vnorm == 0
         v = v / jnp.where(degenerate, jnp.ones((), rdt), vnorm).astype(dtype)
@@ -65,6 +71,52 @@ def hessenberg_dense(a: jax.Array) -> jax.Array:
 
     # k ranges over 0..n-3 (to_hessenberg.hpp:38); empty range for n <= 2.
     return jax.lax.fori_loop(0, max(n - 2, 0), body, a)
+
+
+def hessenberg_host(a) -> "np.ndarray":
+    """Host (NumPy) Householder Hessenberg reduction — same algorithm as
+    ``hessenberg_dense`` (to_hessenberg.hpp:23-80 semantics).
+
+    Exists because the axon TPU remote compiler hangs on the jitted
+    column-loop for n >= ~40 (reproduced with both dynamic-indexed and
+    pure-mask formulations); the reduction is a one-time O(n^3)
+    preprocessing step, so the accelerated QR path runs it on host for
+    that backend and keeps the sweep loop on device.
+    """
+    import numpy as np
+    H = np.array(a)
+    n = H.shape[0]
+    for k in range(n - 2):
+        x = H[k + 1:, k].copy()
+        if np.linalg.norm(x[1:]) == 0:
+            continue
+        norm_x = np.linalg.norm(x)
+        x0 = x[0]
+        sign = x0 / abs(x0) if x0 != 0 else 1.0
+        alpha = -sign * norm_x
+        v = x
+        v[0] -= alpha
+        vn = np.linalg.norm(v)
+        if vn == 0:
+            continue
+        v = v / vn
+        H[k + 1:, k:] -= 2.0 * np.outer(v, np.conj(v) @ H[k + 1:, k:])
+        H[:, k + 1:] -= 2.0 * np.outer(H[:, k + 1:] @ v, np.conj(v))
+    return H
+
+
+# The axon remote compiler wedges on the device column loop above this
+# size (empirically n >= 40); host reduction is used there instead.
+_DEVICE_HESSENBERG_MAX_N_ON_AXON = 32
+
+
+def hessenberg_for_backend(a: jax.Array) -> jax.Array:
+    """Hessenberg reduction routed to device or host per backend quirks."""
+    n = a.shape[0]
+    if jax.default_backend() != "cpu" and n > _DEVICE_HESSENBERG_MAX_N_ON_AXON:
+        import numpy as np
+        return jnp.asarray(hessenberg_host(np.asarray(a)))
+    return hessenberg_dense(a)
 
 
 def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:

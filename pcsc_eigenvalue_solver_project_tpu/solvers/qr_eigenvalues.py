@@ -139,10 +139,13 @@ def _wilkinson_shift(H: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _qr_eigenvalues_accel(a: jax.Array, max_sweeps: jax.Array,
+def _qr_eigenvalues_accel(H0: jax.Array, max_sweeps: jax.Array,
                           tol: jax.Array) -> QRResult:
-    n = a.shape[0]
-    dtype = a.dtype  # complex by construction
+    """Input MUST already be upper Hessenberg (callers pre-reduce; the
+    reduction lives outside jit so the axon backend can run it on host —
+    see hessenberg.hessenberg_for_backend)."""
+    n = H0.shape[0]
+    dtype = H0.dtype  # complex by construction
     rdt = jnp.dtype(real_dtype_of(dtype))
 
     if n == 0:
@@ -150,11 +153,10 @@ def _qr_eigenvalues_accel(a: jax.Array, max_sweeps: jax.Array,
                         iterations=jnp.zeros((), jnp.int32),
                         converged=jnp.asarray(True))
     if n == 1:
-        return QRResult(eigenvalues=jnp.diagonal(a),
+        return QRResult(eigenvalues=jnp.diagonal(H0),
                         iterations=jnp.zeros((), jnp.int32),
                         converged=jnp.asarray(True))
 
-    H0 = hessenberg_dense(a)
     tol = tol.astype(rdt)
 
     def deflate(state):
@@ -301,21 +303,21 @@ def _francis_sweep(H, lo, hi):
 
 
 @jax.jit
-def _qr_eigenvalues_accel_real(a: jax.Array, max_sweeps: jax.Array,
+def _qr_eigenvalues_accel_real(H0: jax.Array, max_sweeps: jax.Array,
                                tol: jax.Array):
-    """Real-arithmetic accelerated QR. Returns (eig_planes (2, n),
-    iterations, converged). Runs on backends with no complex support."""
-    n = a.shape[0]
-    rdt = a.dtype
+    """Real-arithmetic accelerated QR over an ALREADY-HESSENBERG input.
+    Returns (eig_planes (2, n), iterations, converged). Runs on backends
+    with no complex support."""
+    n = H0.shape[0]
+    rdt = H0.dtype
     tol = tol.astype(rdt)
 
     if n == 0:
         return jnp.zeros((2, 0), rdt), jnp.zeros((), jnp.int32), jnp.asarray(True)
     if n == 1:
-        planes = jnp.stack([jnp.diagonal(a), jnp.zeros((1,), rdt)])
+        planes = jnp.stack([jnp.diagonal(H0), jnp.zeros((1,), rdt)])
         return planes, jnp.zeros((), jnp.int32), jnp.asarray(True)
 
-    H0 = hessenberg_dense(a)
     eig0 = jnp.zeros((2, n), rdt)
 
     def small(H, i):
@@ -419,15 +421,18 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
     # accelerated mode
     dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
         opts.deflation_tolerance is not None else opts.tolerance
+    from .hessenberg import hessenberg_for_backend
     if np.dtype(M.dtype).kind != "c":
         # real input: real-arithmetic Schur variant — complex conjugate
         # pairs come out of analytic 2x2 deflation, and no complex dtype
         # ever reaches the device (required on this TPU backend)
+        H0 = hessenberg_for_backend(a)
         planes, sweeps, converged = _qr_eigenvalues_accel_real(
-            a, max_it, jnp.asarray(dtol, ftype))
+            H0, max_it, jnp.asarray(dtol, ftype))
         p = np.asarray(jax.device_get(planes))
         cdt = np.complex64 if p.dtype == np.float32 else np.complex128
         eigs = (p[0] + 1j * p[1]).astype(cdt)
         return QRResult(eigenvalues=eigs, iterations=sweeps, converged=converged)
     a = a.astype(jnp.dtype(complex_dtype_of(a.dtype)))
-    return _qr_eigenvalues_accel(a, max_it, jnp.asarray(dtol, ftype))
+    H0 = hessenberg_for_backend(a)
+    return _qr_eigenvalues_accel(H0, max_it, jnp.asarray(dtol, ftype))
