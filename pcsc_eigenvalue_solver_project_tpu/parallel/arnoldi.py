@@ -82,9 +82,12 @@ def distributed_arnoldi_eigenvalues(A: PartitionedELL, mesh: Mesh,
     V, H, brk = _distributed_arnoldi(A, x0_sharded, m, mesh, axis, exchange)
 
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    Hm = H[:m, :m].astype(jnp.dtype(complex_dtype_of(H.dtype)))
-    qr = _qr_eigenvalues_accel(Hm, jnp.asarray(opts.max_iterations, jnp.int32),
-                               jnp.asarray(opts.tolerance, ftype))
-    order = jnp.argsort(-jnp.abs(qr.eigenvalues))
-    return QRResult(eigenvalues=qr.eigenvalues[order][:k],
-                    iterations=qr.iterations, converged=qr.converged)
+    from ..solvers.qr_eigenvalues import _dense_qr_device
+    with _dense_qr_device():
+        Hm = jnp.asarray(np.asarray(H[:m, :m])).astype(
+            jnp.dtype(complex_dtype_of(H.dtype)))
+        qr = _qr_eigenvalues_accel(Hm, jnp.asarray(opts.max_iterations, jnp.int32),
+                                   jnp.asarray(opts.tolerance, ftype))
+        order = jnp.argsort(-jnp.abs(qr.eigenvalues))
+        return QRResult(eigenvalues=qr.eigenvalues[order][:k],
+                        iterations=qr.iterations, converged=qr.converged)

@@ -72,14 +72,24 @@ def arnoldi_decomposition(matvec, x0: jax.Array, m: int, *, vdot=jnp.vdot,
     return V, H, jnp.minimum(brk, m)
 
 
-@partial(jax.jit, static_argnames=("m", "k"))
+@partial(jax.jit, static_argnames=("m",))
+def _arnoldi_basis(M: AbstractMatrix, x0: jax.Array, m: int):
+    return arnoldi_decomposition(M.matvec, x0, m)
+
+
 def _arnoldi_eigs(M: AbstractMatrix, x0: jax.Array, m: int, k: int,
                   qr_tol: jax.Array, qr_max: jax.Array):
-    V, H, brk = arnoldi_decomposition(M.matvec, x0, m)
-    Hm = H[:m, :m].astype(jnp.dtype(complex_dtype_of(H.dtype)))
-    qr = _qr_eigenvalues_accel(Hm, qr_max, qr_tol)
-    order = jnp.argsort(-jnp.abs(qr.eigenvalues))
-    ritz = qr.eigenvalues[order][:k]
+    # basis build on the accelerator (SpMV-dominated); the small m x m
+    # projection solve on whichever device runs dense QR (see
+    # qr_eigenvalues._dense_qr_device — CPU on the axon backend)
+    from .qr_eigenvalues import _dense_qr_device
+    V, H, brk = _arnoldi_basis(M, x0, m)
+    with _dense_qr_device():
+        Hm = jnp.asarray(np.asarray(H[:m, :m])).astype(
+            jnp.dtype(complex_dtype_of(H.dtype)))
+        qr = _qr_eigenvalues_accel(Hm, qr_max, qr_tol)
+        order = jnp.argsort(-jnp.abs(qr.eigenvalues))
+        ritz = qr.eigenvalues[order][:k]
     return ritz, qr.converged, qr.iterations, V, H
 
 

@@ -121,10 +121,13 @@ def hessenberg_for_backend(a: jax.Array) -> jax.Array:
 
 def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:
     """Wrapper with the reference's dense-only and scalar-type guards."""
+    from .qr_eigenvalues import _dense_qr_device
     if not M.is_dense:
         raise ValueError("to_hessenberg: only dense matrices are supported")
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "to_hessenberg")
     if M.shape[0] != M.shape[1]:
         raise ValueError("to_hessenberg_dense: A must be square")
-    return hessenberg_dense(M.as_dense())
+    import numpy as np
+    with _dense_qr_device():
+        return hessenberg_dense(jnp.asarray(np.asarray(M.as_dense())))

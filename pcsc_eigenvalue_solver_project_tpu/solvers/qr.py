@@ -68,8 +68,11 @@ def qr_decompose_dense(a: jax.Array):
 
 def qr_decompose(M: AbstractMatrix, *, dtype=None):
     """Wrapper with the reference's dense-only and scalar-type guards."""
+    from .qr_eigenvalues import _dense_qr_device
     if not M.is_dense:
         raise ValueError("qr_decompose: only dense matrices are supported")
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "qr_decompose")
-    return qr_decompose_dense(M.as_dense())
+    import numpy as np
+    with _dense_qr_device():
+        return qr_decompose_dense(jnp.asarray(np.asarray(M.as_dense())))

@@ -398,6 +398,27 @@ def _qr_eigenvalues_accel_real(H0: jax.Array, max_sweeps: jax.Array,
 # public wrapper
 # ---------------------------------------------------------------------------
 
+def _dense_qr_device():
+    """Device context for the dense QR stack.
+
+    The axon TPU remote compiler wedges on the sweep loops (reproduced at
+    n >= ~40 for both the Hessenberg column loop and the Francis
+    while-loop; a wedge also stalls the shared compile service for tens of
+    minutes). Dense QR at the sizes it applies to (n <= a few thousand) is
+    sequential-sweep latency-bound, so on non-CPU backends the whole solve
+    runs on the in-process CPU device; sparse/distributed paths stay on
+    the accelerator.
+    """
+    import contextlib
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
                    dtype=None) -> QRResult:
     """All eigenvalues of a dense square matrix via QR iteration.
@@ -415,24 +436,27 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
     mode = opts.mode if isinstance(opts, QROptions) else "parity"
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     max_it = jnp.asarray(opts.max_iterations, jnp.int32)
-    a = M.as_dense()
-    if mode == "parity":
-        return _qr_eigenvalues_parity(a, max_it, jnp.asarray(opts.tolerance, ftype))
-    # accelerated mode
-    dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
-        opts.deflation_tolerance is not None else opts.tolerance
-    from .hessenberg import hessenberg_for_backend
-    if np.dtype(M.dtype).kind != "c":
-        # real input: real-arithmetic Schur variant — complex conjugate
-        # pairs come out of analytic 2x2 deflation, and no complex dtype
-        # ever reaches the device (required on this TPU backend)
-        H0 = hessenberg_for_backend(a)
-        planes, sweeps, converged = _qr_eigenvalues_accel_real(
-            H0, max_it, jnp.asarray(dtol, ftype))
-        p = np.asarray(jax.device_get(planes))
-        cdt = np.complex64 if p.dtype == np.float32 else np.complex128
-        eigs = (p[0] + 1j * p[1]).astype(cdt)
-        return QRResult(eigenvalues=eigs, iterations=sweeps, converged=converged)
-    a = a.astype(jnp.dtype(complex_dtype_of(a.dtype)))
-    H0 = hessenberg_for_backend(a)
-    return _qr_eigenvalues_accel(H0, max_it, jnp.asarray(dtol, ftype))
+    with _dense_qr_device():
+        a = jnp.asarray(np.asarray(M.as_dense()))
+        if mode == "parity":
+            return _qr_eigenvalues_parity(a, max_it,
+                                          jnp.asarray(opts.tolerance, ftype))
+        # accelerated mode
+        dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
+            opts.deflation_tolerance is not None else opts.tolerance
+        from .hessenberg import hessenberg_dense
+        if np.dtype(M.dtype).kind != "c":
+            # real input: real-arithmetic Schur variant — complex conjugate
+            # pairs come out of analytic 2x2 deflation, and no complex
+            # dtype ever reaches a device without complex support
+            H0 = hessenberg_dense(a)
+            planes, sweeps, converged = _qr_eigenvalues_accel_real(
+                H0, max_it, jnp.asarray(dtol, ftype))
+            p = np.asarray(jax.device_get(planes))
+            cdt = np.complex64 if p.dtype == np.float32 else np.complex128
+            eigs = (p[0] + 1j * p[1]).astype(cdt)
+            return QRResult(eigenvalues=eigs, iterations=sweeps,
+                            converged=converged)
+        a = a.astype(jnp.dtype(complex_dtype_of(a.dtype)))
+        H0 = hessenberg_dense(a)
+        return _qr_eigenvalues_accel(H0, max_it, jnp.asarray(dtol, ftype))
