@@ -34,6 +34,8 @@ from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
 from .matrix.dia import SparseDIA
+from .matrix.split_complex import SplitComplexDIA
+from .solvers.power import power_method_split_complex
 
 __version__ = "0.1.0"
 
@@ -41,7 +43,9 @@ __all__ = [
     "AbstractMatrix",
     "DenseMatrix",
     "SparseDIA",
+    "SplitComplexDIA",
     "arnoldi_eigenvalues",
+    "power_method_split_complex",
     "EigenResult",
     "QROptions",
     "QRResult",

@@ -198,7 +198,11 @@ def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
     ``dtype`` is the ``Scalar`` template-parameter analogue: when given, a
     mismatch with the stored dtype raises ``TypeError`` (parity with
     power_method.hpp:137-139). ``key``/``x0`` control the random start.
+    Split-plane complex operators are routed to the plane-based loop.
     """
+    from ..matrix.split_complex import SplitComplexDIA
+    if isinstance(M, SplitComplexDIA):
+        return power_method_split_complex(M, opts, key=key, x0=x0)
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "power_method")
     require_square(M, "power_method")
