@@ -65,6 +65,10 @@ def bench_spmv(n: int, verbose: bool):
     run_pallas = power_chain(lambda v, x: dia_matvec(v, offsets, x, force="pallas"))
     results["pallas_dia"] = nnz / _marginal_time(run_pallas, (dia.data,))
 
+    # bf16 diagonal storage (f32 accumulate): half the HBM traffic
+    results["pallas_dia_bf16"] = nnz / _marginal_time(
+        run_pallas, (dia.data.astype(jnp.bfloat16),))
+
     run_xla = power_chain(lambda v, x: dia_matvec(v, offsets, x, force="xla"))
     results["xla_dia"] = nnz / _marginal_time(run_xla, (dia.data,))
 

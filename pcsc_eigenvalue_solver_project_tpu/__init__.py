@@ -27,7 +27,8 @@ from .matrix.sparse import SparseCSR, SparseELL
 from .io.reader import read_matrix_from_file, read_matrix_from_text
 from .io.writer import write_matrix_to_file
 from .solvers.power import power_method
-from .solvers.inverse_power import shifted_inverse_power_method
+from .solvers.inverse_power import (rayleigh_quotient_iteration,
+                                    shifted_inverse_power_method)
 from .solvers.solve_shifted import solve_shifted
 from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
@@ -57,6 +58,7 @@ __all__ = [
     "power_method",
     "qr_decompose",
     "qr_eigenvalues",
+    "rayleigh_quotient_iteration",
     "read_matrix_from_file",
     "to_hessenberg",
     "read_matrix_from_text",

@@ -53,7 +53,9 @@ def _dia_kernel(x_ref, vals_ref, out_ref, *, offsets, pr, tile_rows):
         q, r = divmod(off, LANES)
         by_r.setdefault(r, []).append((d, q))
 
-    acc = jnp.zeros((tile_rows, LANES), vals_ref.dtype)
+    # accumulate in >= f32 even for bf16 diagonal storage
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tile_rows, LANES), acc_dt)
     for r, items in by_r.items():
         w_rot = w if r == 0 else pltpu.roll(w, LANES - r, 1)
         for d, q in items:
@@ -64,7 +66,7 @@ def _dia_kernel(x_ref, vals_ref, out_ref, *, offsets, pr, tile_rows):
                 b = jax.lax.slice_in_dim(w_rot, pr + q + 1, pr + q + 1 + tile_rows,
                                          axis=0)
                 seg = jnp.where(lane < LANES - r, a, b)
-            acc = acc + vals_ref[d] * seg
+            acc = acc + vals_ref[d].astype(acc_dt) * seg.astype(acc_dt)
     out_ref[...] = acc
 
 
@@ -196,9 +198,10 @@ def _dia_matvec_pallas(vals: jax.Array, x: jax.Array, offsets: tuple,
     vals3 = jnp.pad(vals, ((0, 0), (0, n_pad - n))).reshape(k, rows, LANES)
 
     grid = (rows // tile_rows,)
+    out_dt = jnp.promote_types(vals.dtype, jnp.float32)
     out = pl.pallas_call(
         functools.partial(_dia_kernel, offsets=offsets, pr=pr, tile_rows=tile_rows),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), out_dt),
         grid=grid,
         in_specs=[
             # whole padded x in VMEM; the kernel slices its own overlapping
@@ -238,9 +241,10 @@ def dia_matvec(vals: jax.Array, offsets: tuple, x: jax.Array, *,
     elif force == "xla":
         use_pallas = False
     else:
-        # f32/c64 on a TPU-ish backend; f64/c128 take the XLA path
+        # f32/bf16/c64 on a TPU-ish backend; f64/c128 take the XLA path.
+        # bf16 diagonal storage halves HBM traffic; accumulation stays f32.
         use_pallas = (_backend_supports_pallas()
-                      and vals.dtype in (jnp.float32, jnp.complex64)
+                      and vals.dtype in (jnp.float32, jnp.bfloat16, jnp.complex64)
                       and n >= tile_rows * LANES)
 
     if use_pallas:

@@ -31,13 +31,19 @@ from .sharded import (PartitionedELL, psum_norm, psum_vdot, spmv_all_gather,
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "exchange", "m"))
-def _distributed_arnoldi(A: PartitionedELL, x0: jax.Array, m: int,
+def _distributed_arnoldi(A, x0: jax.Array, m: int,
                          mesh: Mesh, axis: str, exchange: str):
-    body = spmv_halo if exchange == "halo" else spmv_all_gather
+    from .dia import PartitionedDIA, dia_halo_window, dia_window_matvec
+    is_dia = isinstance(A, PartitionedDIA)
+    if not is_dia:
+        body = spmv_halo if exchange == "halo" else spmv_all_gather
 
-    def local(data, indices, x0_local):
+    def local(data, extra, x0_local):
         def matvec(x_local):
-            return body(data, indices, x_local, axis=axis)
+            if is_dia:
+                w = dia_halo_window(x_local, A.halo, axis=axis)
+                return dia_window_matvec(data, A.offsets, w, A.halo)
+            return body(data, extra, x_local, axis=axis)
 
         V, H, brk = arnoldi_decomposition(
             matvec, x0_local, m,
@@ -45,11 +51,17 @@ def _distributed_arnoldi(A: PartitionedELL, x0: jax.Array, m: int,
             norm=lambda v: psum_norm(v, axis=axis))
         return V, H, brk
 
+    if is_dia:
+        in_specs = (P(None, axis), P(), P(axis))
+        extra = jnp.zeros((), A.dtype)
+    else:
+        in_specs = (P(axis, None), P(axis, None), P(axis))
+        extra = A.indices
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(None, axis), P(), P()),
-    )(A.data, A.indices, x0)
+    )(A.data, extra, x0)
 
 
 def distributed_arnoldi_eigenvalues(A: PartitionedELL, mesh: Mesh,
@@ -58,9 +70,10 @@ def distributed_arnoldi_eigenvalues(A: PartitionedELL, mesh: Mesh,
                                     axis: str = ROW_AXIS,
                                     exchange: str = "auto", key=None,
                                     x0=None) -> QRResult:
-    """Top-``k`` eigenvalues (by magnitude) of the partitioned operator."""
+    """Top-``k`` eigenvalues (by magnitude) of the partitioned operator
+    (``PartitionedELL`` or the gather-free ``PartitionedDIA``)."""
     if exchange == "auto":
-        exchange = "halo" if A.halo_ok else "all_gather"
+        exchange = "halo" if getattr(A, "halo_ok", True) else "all_gather"
     n, n_pad = A.n_orig, A.n_padded
     if k < 1:
         raise ValueError("distributed_arnoldi_eigenvalues: k must be >= 1")

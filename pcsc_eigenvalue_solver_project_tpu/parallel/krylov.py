@@ -83,6 +83,63 @@ def bicgstab(matvec, b, *, vdot, norm, precond=None, tol=1e-12, atol=0.0,
     return out["x"], norm(out["r"]), out["k"]
 
 
+def gmres(matvec, b, *, vdot, norm, m=30, tol=1e-12, atol=0.0,
+          max_restarts=None, precond=None, x0=None):
+    """Restarted GMRES(m) with injectable reductions.
+
+    Builds an m-step Arnoldi basis of the (right-preconditioned) operator
+    per restart (reusing solvers.arnoldi.arnoldi_decomposition with the
+    caller's psum-capable ``vdot``/``norm``), solves the small least
+    squares with XLA QR, and corrects. Whole solve is one
+    ``lax.while_loop``; returns ``(x, residual_norm, restarts)``.
+    """
+    from ..solvers.arnoldi import arnoldi_decomposition
+
+    dtype = b.dtype
+    n = b.shape[0]
+    if max_restarts is None:
+        max_restarts = max(-(-4 * n // m), 8)
+    M = precond if precond is not None else (lambda v: v)
+
+    def op(v):
+        return matvec(M(v))
+
+    bnorm = norm(b)
+    atol_eff = jnp.maximum(tol * bnorm, atol)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def cond(c):
+        u, rnorm, it, done = c
+        return jnp.logical_and(it < max_restarts, jnp.logical_not(done))
+
+    def body(c):
+        u, rnorm, it, done = c
+        r = b - op(u)
+        beta = norm(r).astype(dtype)
+        breakdown = beta == 0
+        safe_r = jnp.where(breakdown, jnp.ones_like(r).at[0].set(1), r)
+        V, H, brk = arnoldi_decomposition(op, safe_r, m, vdot=vdot, norm=norm)
+        e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        Q, R = jnp.linalg.qr(H, mode="reduced")  # (m+1, m) -> (m+1, m), (m, m)
+        rhs = jnp.conj(Q).T @ e1
+        # guard singular R (Arnoldi breakdown columns are zero)
+        diag_r = jnp.diagonal(R)
+        safe = jnp.where(diag_r == 0, jnp.ones((), dtype), diag_r)
+        Rsafe = R - jnp.diag(diag_r) + jnp.diag(safe)
+        y = jax.scipy.linalg.solve_triangular(Rsafe, rhs, lower=False)
+        u_new = u + V[:m].T @ y
+        r_new = b - op(u_new)
+        rn = norm(r_new)
+        conv = rn <= atol_eff
+        u = jnp.where(breakdown, u, u_new)
+        return (u, rn, it + 1, jnp.logical_or(conv, breakdown))
+
+    u, rnorm, it, done = jax.lax.while_loop(
+        cond, body, (x0, norm(b - op(x0)), jnp.zeros((), jnp.int32),
+                     jnp.asarray(False)))
+    return M(u), rnorm, it
+
+
 def solve_shifted_distributed(matvec, shift, b, *, vdot, norm, diag=None,
                               tol=1e-12, maxiter=None):
     """Solve ``(A - shift I) y = b`` on shards; Jacobi preconditioning."""

@@ -68,4 +68,13 @@ def solve_shifted(M: AbstractMatrix, shift, b, *, dtype=None,
     if method == "bicgstab":
         n = M.shape[0]
         return _sparse_solve_shifted(M, shift, b, tol, maxiter if maxiter else 4 * n)
+    if method == "gmres":
+        from ..parallel.krylov import gmres
+        diag = M.diagonal()
+        d = diag - shift
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        x, _, _ = gmres(lambda v: M.matvec(v) - shift * v, b,
+                        vdot=jnp.vdot, norm=jnp.linalg.norm,
+                        precond=lambda v: v / safe, tol=tol)
+        return x
     raise ValueError(f"solve_shifted: unknown method {method!r}")

@@ -86,6 +86,27 @@ class TestErrorPaths:
             shifted_inverse_power_method(M, dtype=np.complex128)
 
 
+class TestRayleighQuotientIteration:
+    def test_cubic_convergence(self, key):
+        from pcsc_eigenvalue_solver_project_tpu import rayleigh_quotient_iteration
+        rng = np.random.default_rng(0)
+        a = rng.random((12, 12))
+        a = a + a.T
+        M = DenseMatrix.from_array(a)
+        r = rayleigh_quotient_iteration(
+            M, ShiftedSolverOptions(shift=3.0, tolerance=1e-13), key=key)
+        assert bool(r.converged)
+        assert int(r.iterations) <= 10  # cubic: far faster than fixed shift
+        eigs = np.linalg.eigvalsh(a)
+        lam = complex(r.eigenvalue).real
+        assert min(abs(eigs - lam)) < 1e-10
+
+    def test_guards(self):
+        from pcsc_eigenvalue_solver_project_tpu import rayleigh_quotient_iteration
+        with pytest.raises(ValueError, match="square"):
+            rayleigh_quotient_iteration(DenseMatrix.from_array(np.ones((2, 3))))
+
+
 class TestIterationSemantics:
     def test_tiny_max_iterations(self, key):
         # shifted_inverse_power_method_test.cpp:153-170
