@@ -34,6 +34,7 @@ from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
+from .solvers.subspace import subspace_iteration
 from .matrix.dia import SparseDIA
 from .matrix.split_complex import SplitComplexDIA
 from .solvers.power import power_method_split_complex
@@ -64,5 +65,6 @@ __all__ = [
     "read_matrix_from_text",
     "shifted_inverse_power_method",
     "solve_shifted",
+    "subspace_iteration",
     "write_matrix_to_file",
 ]

@@ -220,6 +220,98 @@ def _dia_matvec_pallas(vals: jax.Array, x: jax.Array, offsets: tuple,
     return out.reshape(n_pad)[:n]
 
 
+def _dia_block_kernel(x_ref, vals_ref, out_ref, *, offsets, pr, tile_rows, nvec):
+    """Block SpMM tile: nvec stacked vectors share ONE read of the
+    diagonal block — arithmetic intensity scales with nvec, which is the
+    whole point of block (subspace) iteration on a bandwidth-bound op."""
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    row_base = pl.multiple_of(i * tile_rows, tile_rows)
+    w = x_ref[:, pl.ds(row_base, tile_rows + 2 * pr), :]  # (nvec, win, LANES)
+
+    by_r: dict = {}
+    for d, off in enumerate(offsets):
+        q, r = divmod(off, LANES)
+        by_r.setdefault(r, []).append((d, q))
+
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((nvec, tile_rows, LANES), acc_dt)
+    for r, items in by_r.items():
+        w_rot = w if r == 0 else pltpu.roll(w, LANES - r, 2)
+        for d, q in items:
+            a = jax.lax.slice_in_dim(w_rot, pr + q, pr + q + tile_rows, axis=1)
+            if r == 0:
+                seg = a
+            else:
+                b = jax.lax.slice_in_dim(w_rot, pr + q + 1, pr + q + 1 + tile_rows,
+                                         axis=1)
+                seg = jnp.where(lane[None] < LANES - r, a, b)
+            v = vals_ref[d].astype(acc_dt)  # (tile_rows, LANES)
+            acc = acc + v[None] * seg.astype(acc_dt)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile_rows", "interpret"))
+def _dia_matmat_pallas(vals: jax.Array, xs: jax.Array, offsets: tuple,
+                       tile_rows: int, interpret: bool) -> jax.Array:
+    """Block SpMM: vals (k, n) real, xs (nvec, n) -> (nvec, n)."""
+    k, n = vals.shape
+    nvec = xs.shape[0]
+    rows = -(-n // (tile_rows * LANES)) * tile_rows
+    n_pad = rows * LANES
+    bw = max((abs(o) for o in offsets), default=0)
+    pr = max(-(-bw // LANES), 1)
+
+    x2 = jnp.zeros((nvec, rows + 2 * pr, LANES), xs.dtype)
+    x2 = x2.at[:, pr:pr + rows, :].set(
+        jnp.pad(xs, ((0, 0), (0, n_pad - n))).reshape(nvec, rows, LANES))
+    vals3 = jnp.pad(vals, ((0, 0), (0, n_pad - n))).reshape(k, rows, LANES)
+
+    grid = (rows // tile_rows,)
+    out_dt = jnp.promote_types(vals.dtype, jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_dia_block_kernel, offsets=offsets, pr=pr,
+                          tile_rows=tile_rows, nvec=nvec),
+        out_shape=jax.ShapeDtypeStruct((nvec, rows, LANES), out_dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nvec, tile_rows, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n * nvec, transcendentals=0,
+            bytes_accessed=(k * n + 2 * nvec * n) * vals.dtype.itemsize),
+        interpret=interpret,
+    )(x2, vals3)
+    return out.reshape(nvec, n_pad)[:, :n]
+
+
+def dia_matmat(vals: jax.Array, offsets: tuple, xs: jax.Array, *,
+               tile_rows: int = DEFAULT_TILE_ROWS,
+               force: str | None = None) -> jax.Array:
+    """Banded SpMM dispatch: xs (nvec, n) -> (nvec, n); real dtypes."""
+    k, n = vals.shape
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals.dtype in (jnp.float32, jnp.bfloat16)
+                      and n >= tile_rows * LANES))
+    if use_pallas:
+        return _dia_matmat_pallas(vals, xs, tuple(offsets), tile_rows, interpret)
+
+    ys = jnp.zeros_like(xs)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            seg = jnp.pad(xs[:, off:], ((0, 0), (0, off))) if off else xs
+        else:
+            seg = jnp.pad(xs[:, :off], ((0, 0), (-off, 0)))
+        ys = ys + vals[d][None] * seg
+    return ys
+
+
 def _backend_supports_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 

@@ -1,0 +1,87 @@
+"""Block (subspace) iteration + block SpMM kernel tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pcsc_eigenvalue_solver_project_tpu as es
+from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
+from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_random
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import dia_matmat
+from pcsc_eigenvalue_solver_project_tpu.solvers.subspace import (
+    _cholqr2, subspace_iteration)
+
+
+class TestBlockKernel:
+    def test_interpret_matches_xla(self):
+        rng = np.random.default_rng(0)
+        n, k, b = 20000, 9, 6
+        offsets = tuple(range(-4, 5))
+        vals = np.zeros((k, n), np.float32)
+        for d, off in enumerate(offsets):
+            vals[d] = rng.random(n)
+            if off > 0:
+                vals[d, n - off:] = 0
+            elif off < 0:
+                vals[d, :-off] = 0
+        vals = jnp.asarray(vals)
+        xs = jnp.asarray(rng.random((b, n)).astype(np.float32))
+        y_ref = dia_matmat(vals, offsets, xs, force="xla")
+        y_ker = dia_matmat(vals, offsets, xs, force="interpret")
+        np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_block_consistent_with_single(self):
+        m = banded_random(300, bandwidth=3, nnz_per_row=4, seed=1)
+        dia = SparseDIA.from_csr(m)
+        rng = np.random.default_rng(2)
+        xs = jnp.asarray(rng.random((4, 300)))
+        ys = np.asarray(dia_matmat(dia.data, dia.offsets, xs, force="xla"))
+        for i in range(4):
+            np.testing.assert_allclose(ys[i], np.asarray(dia.matvec(xs[i])),
+                                       rtol=1e-12)
+
+
+class TestCholQR2:
+    def test_orthonormalises(self):
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.random((200, 8)))
+        Q = np.asarray(_cholqr2(X))
+        np.testing.assert_allclose(Q.T @ Q, np.eye(8), atol=1e-10)
+        # same column space
+        resid = Q - np.asarray(X) @ np.linalg.lstsq(np.asarray(X), Q, rcond=None)[0]
+        assert np.abs(resid).max() < 1e-8
+
+
+class TestSubspaceIteration:
+    def test_separated_diagonal(self, key):
+        d = np.concatenate([[40.0, 30.0, 22.0, 15.0], np.linspace(0.1, 2.0, 60)])
+        M = es.DenseMatrix.from_array(np.diag(d))
+        r = subspace_iteration(M, k=4, opts=es.SolverOptions(tolerance=1e-10,
+                                                             max_iterations=2000),
+                               key=key)
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.sort(np.asarray(r.eigenvalues).real)[::-1],
+                                   [40, 30, 22, 15], rtol=1e-8)
+
+    def test_banded_with_complex_pair(self, key):
+        m = banded_random(400, bandwidth=4, nnz_per_row=5, seed=2)
+        dia = SparseDIA.from_csr(m)
+        r = subspace_iteration(dia, k=3, opts=es.SolverOptions(tolerance=1e-9,
+                                                               max_iterations=3000),
+                               key=key)
+        assert bool(r.converged)
+        exact = np.linalg.eigvals(np.asarray(m.to_dense()))
+        exact = exact[np.argsort(-np.abs(exact))][:3]
+        got = np.asarray(r.eigenvalues)
+        for e in exact:
+            assert min(abs(got - e)) < 1e-5
+
+    def test_errors(self):
+        M = es.DenseMatrix.from_array(np.ones((2, 3)))
+        with pytest.raises(ValueError, match="square"):
+            subspace_iteration(M)
+        M2 = es.DenseMatrix.from_array(np.eye(6))
+        with pytest.raises(ValueError, match="block .2. must be >= k"):
+            subspace_iteration(M2, k=3, block=2)
