@@ -70,6 +70,27 @@ def bench_spmv(n: int, verbose: bool):
     results["pallas_dia_bf16"] = nnz / _marginal_time(
         run_pallas, (dia.data.astype(jnp.bfloat16),))
 
+    # interleaved (lane-major) layout: diagonal shifts become sublane
+    # slices — <= 8 sublane rolls/tile instead of ~32 lane rolls
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+        dia_matvec_il, interleave_vec)
+    il = dia.interleaved()
+    x0_il = interleave_vec(x0, il.R)
+
+    def run_il_body(v, iters):
+        def body(_, xx):
+            yy = dia_matvec_il(v, offsets, xx, force="pallas",
+                               tile_s=il.tile_s)
+            nn2 = jnp.sum(yy * yy)
+            return (yy * jax.lax.rsqrt(
+                jnp.where(nn2 == 0, 1.0, nn2))).astype(xx.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0_il))
+
+    run_il = jax.jit(run_il_body)
+    results["pallas_dia_il"] = nnz / _marginal_time(run_il, (il.data_il,))
+    results["pallas_dia_il_bf16"] = nnz / _marginal_time(
+        run_il, (il.data_il.astype(jnp.bfloat16),))
+
     run_xla = power_chain(lambda v, x: dia_matvec(v, offsets, x, force="xla"))
     results["xla_dia"] = nnz / _marginal_time(run_xla, (dia.data,))
 

@@ -35,7 +35,7 @@ from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
 from .solvers.subspace import subspace_iteration
-from .matrix.dia import SparseDIA
+from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import SplitComplexDIA
 from .solvers.power import power_method_split_complex
 
@@ -44,6 +44,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AbstractMatrix",
     "DenseMatrix",
+    "InterleavedDIA",
     "SparseDIA",
     "SplitComplexDIA",
     "arnoldi_eigenvalues",

@@ -133,3 +133,98 @@ class SparseDIA(AbstractMatrix):
 
     def as_csr(self):
         raise TypeError("SparseDIA: stored matrix is not sparse CSR (convert explicitly)")
+
+    def interleaved(self, tile_s: int | None = None,
+                    dtype=None) -> "InterleavedDIA":
+        """Convert to the lane-major interleaved layout — the fastest SpMV
+        path (ops/pallas/dia_spmv.py interleaved kernel: diagonal shifts
+        become sublane slices; measured 1.9x f32 / 2.6x bf16 over the
+        row-major kernel on v5e). ``dtype`` optionally re-types the stored
+        diagonals (e.g. bfloat16 halves HBM traffic; accumulation stays f32).
+        """
+        from ..ops.pallas.dia_spmv import (DEFAULT_IL_TILE, il_rows,
+                                           interleave_dia_vals)
+        ts = DEFAULT_IL_TILE if tile_s is None else tile_s
+        n = self.shape[0]
+        data = self.data if dtype is None else self.data.astype(dtype)
+        R = il_rows(n, ts)
+        return InterleavedDIA(data_il=interleave_dia_vals(data, R),
+                              offsets=self.offsets, shape=self.shape,
+                              tile_s=ts)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InterleavedDIA(AbstractMatrix):
+    """Banded matrix in the lane-major interleaved layout.
+
+    ``matvec``/``matmat`` consume and produce vectors in the SAME layout
+    ((R, 128) arrays via ``encode_vec``), so whole solver loops run without
+    any layout conversion; norms and inner products are permutation-
+    invariant, so the generic solver loops (solvers/power.py) work
+    unchanged. Padding positions carry zero diagonal values and therefore
+    stay zero through iterations.
+    """
+
+    data_il: jax.Array  # (k, R, 128)
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    tile_s: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.data_il.dtype)
+
+    @property
+    def is_dense(self) -> bool:
+        return False
+
+    @property
+    def R(self) -> int:
+        return self.data_il.shape[1]
+
+    @property
+    def bandwidth(self) -> int:
+        return max(abs(o) for o in self.offsets) if self.offsets else 0
+
+    # --- layout codec (protocol hooks used by the solver drivers) ---
+    def encode_vec(self, x):
+        from ..ops.pallas.dia_spmv import interleave_vec
+        return interleave_vec(x, self.R)
+
+    def decode_vec(self, x_il):
+        from ..ops.pallas.dia_spmv import deinterleave_vec
+        return deinterleave_vec(x_il, self.shape[0])
+
+    # --- compute (interleaved domain) ---
+    def matvec(self, x_il):
+        from ..ops.pallas.dia_spmv import dia_matvec_il
+        return dia_matvec_il(self.data_il, self.offsets, x_il,
+                             tile_s=self.tile_s)
+
+    def matmat(self, xs_il):
+        from ..ops.pallas.dia_spmv import dia_matmat_il
+        return dia_matmat_il(self.data_il, self.offsets, xs_il,
+                             tile_s=self.tile_s)
+
+    def rmatvec(self, x_il):
+        # correctness path: transpose via the natural layout (A^H shifts
+        # diagonals the other way); fast adjoint iteration should pre-build
+        # the adjoint operator instead.
+        return self.encode_vec(self.to_natural().rmatvec(self.decode_vec(x_il)))
+
+    def to_natural(self) -> SparseDIA:
+        k = self.data_il.shape[0]
+        n = self.shape[0]
+        data = self.data_il.transpose(0, 2, 1).reshape(k, -1)[:, :n]
+        return SparseDIA(data=data, offsets=self.offsets, shape=self.shape)
+
+    def diagonal(self):
+        return self.to_natural().diagonal()
+
+    def to_dense(self):
+        return self.to_natural().to_dense()
+
+    def as_csr(self):
+        raise TypeError(
+            "InterleavedDIA: stored matrix is not sparse CSR (convert explicitly)")

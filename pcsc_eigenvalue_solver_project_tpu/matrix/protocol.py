@@ -50,6 +50,18 @@ class AbstractMatrix:
         """Materialise as a dense jnp array."""
         raise NotImplementedError
 
+    # --- vector-domain codec ---
+    # Operators whose fast path uses a device-friendly vector layout
+    # (e.g. InterleavedDIA's lane-major (R, 128) arrays) override these;
+    # solver drivers encode the start vector once, iterate entirely in the
+    # operator's domain (norms/dots are permutation-invariant), and decode
+    # the final eigenvector once.
+    def encode_vec(self, x):
+        return x
+
+    def decode_vec(self, x):
+        return x
+
     # --- checked access (cast<T>() parity) ---
     def as_dense(self):
         raise TypeError(f"{type(self).__name__}: stored matrix is not dense")

@@ -316,6 +316,215 @@ def _backend_supports_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# --------------------------------------------------------------------------
+# Interleaved (lane-major) layout — the fast path.
+#
+# The row-major kernels above pay ~1 lane-roll per distinct ``off % 128``
+# residue per tile (up to 32 full-window VPU shuffles for a 33-band operator)
+# plus a two-source lane blend per diagonal; measured VPU-bound at ~39% of
+# HBM speed-of-light. Storing the vector LANE-MAJOR — element ``i`` at
+# ``(sublane = i % R, lane = i // R)`` so each of the 128 lanes holds a
+# contiguous chunk of R elements — turns a shift by ``off`` into a SUBLANE
+# shift. Grouping diagonals by ``off % 8`` (vreg sublane count) leaves at
+# most EIGHT sublane rolls per tile; each diagonal then needs only a
+# vreg-ALIGNED static slice (free) and one FMA. Lane crossings happen only
+# at chunk boundaries and are pre-materialised as PR halo sublanes on the
+# window (PR = bandwidth rounded up to 8).
+# --------------------------------------------------------------------------
+
+_SUB = 8  # f32 sublanes per vreg
+DEFAULT_IL_TILE = 64  # measured best on v5e (289 Gnnz/s bf16, 33-band 100K)
+
+
+def il_rows(n: int, tile_s: int = DEFAULT_IL_TILE) -> int:
+    """Sublane count R for the interleaved layout of an n-vector
+    (rounded so the padded size R*128 tiles evenly)."""
+    return -(-(-(-n // LANES)) // tile_s) * tile_s
+
+
+def _il_halo(offsets) -> int:
+    bw = max((abs(o) for o in offsets), default=0)
+    return max(-(-bw // _SUB) * _SUB, _SUB)
+
+
+def interleave_vec(x: jax.Array, R: int) -> jax.Array:
+    """(n,) -> (R, 128) lane-major: element i at (i % R, i // R)."""
+    n = x.shape[0]
+    return jnp.pad(x, (0, R * LANES - n)).reshape(LANES, R).T
+
+
+def deinterleave_vec(x_il: jax.Array, n: int) -> jax.Array:
+    """(R, 128) lane-major -> (n,)."""
+    return x_il.T.reshape(-1)[:n]
+
+
+def interleave_dia_vals(vals: jax.Array, R: int) -> jax.Array:
+    """(k, n) diagonals -> (k, R, 128) lane-major (one-time transform)."""
+    k, n = vals.shape
+    return jnp.pad(vals, ((0, 0), (0, R * LANES - n))).reshape(
+        k, LANES, R).transpose(0, 2, 1)
+
+
+def _il_window(x_il: jax.Array, pr: int) -> jax.Array:
+    """Haloed window (R + 2*pr, 128): pr sublanes above/below each chunk,
+    carrying the tail/head of the NEIGHBOURING lane's chunk (zero at the
+    array edges). After this, x[i + off] for |off| <= pr is the pure
+    sublane access window[pr + (i % R) + off, i // R]."""
+    R = x_il.shape[0]
+    top = jnp.pad(x_il[R - pr:, : LANES - 1], ((0, 0), (1, 0)))
+    bot = jnp.pad(x_il[:pr, 1:], ((0, 0), (0, 1)))
+    return jnp.concatenate([top, x_il, bot], axis=0)
+
+
+def _il_plan(offsets, pr):
+    """Static kernel plan: [(b, ((d, aligned_start), ...)), ...] grouped by
+    the mod-8 residue b of each diagonal's window shift."""
+    by_b: dict = {}
+    for d, off in enumerate(offsets):
+        t = pr + off
+        b = t % _SUB
+        by_b.setdefault(b, []).append((d, t - b))
+    return tuple((b, tuple(items)) for b, items in by_b.items())
+
+
+def _dia_il_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s):
+    """One (tile_s, 128) output tile: <= 8 sublane rolls shared across the
+    band, then one aligned slice + FMA per diagonal."""
+    i = pl.program_id(0)
+    base = pl.multiple_of(i * tile_s, tile_s)
+    win = tile_s + 2 * pr
+    w = w_ref[pl.ds(base, win), :]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wb = w if b == 0 else pltpu.roll(w, win - b, 0)  # wb[s] = w[s + b]
+        for d, st in items:
+            seg = jax.lax.slice_in_dim(wb, st, st + tile_s, axis=0)
+            acc = acc + vals_ref[d].astype(acc_dt) * seg.astype(acc_dt)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
+def _dia_matvec_il_pallas(vals_il: jax.Array, x_il: jax.Array, offsets: tuple,
+                          tile_s: int, interpret: bool) -> jax.Array:
+    k, R, _ = vals_il.shape
+    pr = _il_halo(offsets)
+    w = _il_window(x_il.astype(jnp.promote_types(x_il.dtype, jnp.float32)), pr)
+    out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_dia_il_kernel, plan=_il_plan(offsets, pr), pr=pr,
+                          tile_s=tile_s),
+        out_shape=jax.ShapeDtypeStruct((R, LANES), out_dt),
+        grid=(R // tile_s,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole haloed window
+            pl.BlockSpec((k, tile_s, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_s, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * R * LANES, transcendentals=0,
+            bytes_accessed=(k * R * LANES + 2 * R * LANES)
+            * vals_il.dtype.itemsize),
+        interpret=interpret,
+    )(w, vals_il)
+
+
+def dia_matvec_il(vals_il: jax.Array, offsets: tuple, x_il: jax.Array, *,
+                  tile_s: int = DEFAULT_IL_TILE,
+                  force: str | None = None) -> jax.Array:
+    """Interleaved-domain banded SpMV: (k, R, 128) x (R, 128) -> (R, 128).
+
+    Both operands live in the lane-major layout of ``interleave_vec`` /
+    ``interleave_dia_vals``; the result stays in that layout so solver
+    loops never convert. Requires bandwidth < R (one-lane halo).
+    """
+    k, R, _ = vals_il.shape
+    if _il_halo(offsets) > R:
+        raise ValueError("dia_matvec_il: bandwidth exceeds chunk size R")
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_il.dtype in (jnp.float32, jnp.bfloat16)))
+    if use_pallas:
+        return _dia_matvec_il_pallas(vals_il, x_il, tuple(offsets), tile_s,
+                                     interpret)
+    # XLA fallback: de-interleave, shifted-pad accumulate on the padded
+    # vector (exact — boundary positions carry zero diagonal values).
+    vals = vals_il.transpose(0, 2, 1).reshape(k, R * LANES)
+    x = x_il.T.reshape(-1)
+    y = jnp.zeros_like(x, dtype=jnp.promote_types(vals.dtype, x.dtype))
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            seg = jnp.pad(x[off:], (0, off)) if off else x
+        else:
+            seg = jnp.pad(x[:off], (-off, 0))
+        y = y + vals[d] * seg
+    return y.reshape(LANES, R).T
+
+
+def _dia_il_block_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s, nvec):
+    """Block variant: nvec stacked vectors share one read of the diagonal
+    block; rolls/slices act on the (nvec, win, 128) window's sublane axis."""
+    i = pl.program_id(0)
+    base = pl.multiple_of(i * tile_s, tile_s)
+    win = tile_s + 2 * pr
+    w = w_ref[:, pl.ds(base, win), :]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((nvec, tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wb = w if b == 0 else pltpu.roll(w, win - b, 1)
+        for d, st in items:
+            seg = jax.lax.slice_in_dim(wb, st, st + tile_s, axis=1)
+            acc = acc + vals_ref[d][None].astype(acc_dt) * seg.astype(acc_dt)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
+def _dia_matmat_il_pallas(vals_il: jax.Array, xs_il: jax.Array, offsets: tuple,
+                          tile_s: int, interpret: bool) -> jax.Array:
+    k, R, _ = vals_il.shape
+    nvec = xs_il.shape[0]
+    pr = _il_halo(offsets)
+    w = jax.vmap(lambda v: _il_window(v, pr))(
+        xs_il.astype(jnp.promote_types(xs_il.dtype, jnp.float32)))
+    out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_dia_il_block_kernel, plan=_il_plan(offsets, pr),
+                          pr=pr, tile_s=tile_s, nvec=nvec),
+        out_shape=jax.ShapeDtypeStruct((nvec, R, LANES), out_dt),
+        grid=(R // tile_s,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile_s, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nvec, tile_s, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * R * LANES * nvec, transcendentals=0,
+            bytes_accessed=(k * R * LANES + 2 * nvec * R * LANES)
+            * vals_il.dtype.itemsize),
+        interpret=interpret,
+    )(w, vals_il)
+
+
+def dia_matmat_il(vals_il: jax.Array, offsets: tuple, xs_il: jax.Array, *,
+                  tile_s: int = DEFAULT_IL_TILE,
+                  force: str | None = None) -> jax.Array:
+    """Interleaved-domain block SpMM: xs_il (nvec, R, 128) -> (nvec, R, 128)."""
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_il.dtype in (jnp.float32, jnp.bfloat16)))
+    if use_pallas:
+        return _dia_matmat_il_pallas(vals_il, xs_il, tuple(offsets), tile_s,
+                                     interpret)
+    return jax.vmap(lambda v: dia_matvec_il(vals_il, offsets, v, force="xla"))(
+        xs_il)
+
+
 def dia_matvec(vals: jax.Array, offsets: tuple, x: jax.Array, *,
                tile_rows: int = DEFAULT_TILE_ROWS, force: str | None = None) -> jax.Array:
     """Banded SpMV dispatch.

@@ -207,12 +207,21 @@ def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
         check_scalar_type(M.dtype, dtype, "power_method")
     require_square(M, "power_method")
     require_nonempty(M, "power_method")
+    # Iterate in at least f32 even when the operator stores bf16 diagonals
+    # (the interleaved-DIA fast path): matvec accumulates in f32 already.
+    vec_dt = jnp.promote_types(M.dtype, jnp.float32)
     if x0 is None:
         x0 = random_unit_vector(key if key is not None else default_key(),
-                                M.shape[0], M.dtype)
+                                M.shape[0], vec_dt)
     else:
-        x0 = jnp.asarray(x0, M.dtype)
+        x0 = jnp.asarray(x0, vec_dt)
         nrm = jnp.linalg.norm(x0)
-        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(M.dtype))
-    return _power_loop(M, x0, jnp.asarray(opts.max_iterations, jnp.int32),
-                       jnp.asarray(opts.tolerance, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(vec_dt))
+    # Solve in the operator's vector domain (identity for most kinds;
+    # lane-major interleaved for InterleavedDIA) — encode once, iterate
+    # domain-native, decode the eigenvector once.
+    x0 = M.encode_vec(x0)
+    r = _power_loop(M, x0, jnp.asarray(opts.max_iterations, jnp.int32),
+                    jnp.asarray(opts.tolerance, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+    import dataclasses as _dc
+    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))

@@ -101,3 +101,106 @@ class TestPallasKernelInterpret:
         x = jnp.ones((20000,), jnp.float32)
         y = dia.matvec(x)  # would raise if pallas were attempted on CPU
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestInterleavedDIA:
+    """Lane-major interleaved layout: kernel logic (interpret mode),
+    layout codec roundtrip, operator-protocol integration."""
+
+    @pytest.mark.parametrize("n,offsets,tile_s", [
+        (20000, tuple(range(-16, 17)), 64),   # full band, default-ish tile
+        (16500, (-16, -3, 0, 7, 16), 64),     # non-multiple n
+        (20000, (-100, -3, 0, 5, 99), 64),    # bandwidth > sublane groups
+        (9000, (-1, 0, 1), 8),                # minimal tile
+    ])
+    def test_il_matvec_matches_xla(self, n, offsets, tile_s):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+            deinterleave_vec, dia_matvec_il, il_rows, interleave_dia_vals,
+            interleave_vec)
+        rng = np.random.default_rng(7)
+        k = len(offsets)
+        vals = np.zeros((k, n), np.float32)
+        for d, off in enumerate(offsets):
+            vals[d] = rng.random(n)
+            if off > 0:
+                vals[d, n - off:] = 0
+            elif off < 0:
+                vals[d, :-off] = 0
+        vals = jnp.asarray(vals)
+        x = jnp.asarray(rng.random(n), jnp.float32)
+        y_ref = dia_matvec(vals, offsets, x, force="xla")
+        R = il_rows(n, tile_s)
+        y_il = dia_matvec_il(interleave_dia_vals(vals, R), offsets,
+                             interleave_vec(x, R), tile_s=tile_s,
+                             force="interpret")
+        np.testing.assert_allclose(np.asarray(deinterleave_vec(y_il, n)),
+                                   np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    def test_codec_roundtrip(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+            deinterleave_vec, il_rows, interleave_vec)
+        x = jnp.asarray(np.random.default_rng(0).random(12345), jnp.float32)
+        R = il_rows(12345)
+        np.testing.assert_array_equal(
+            np.asarray(deinterleave_vec(interleave_vec(x, R), 12345)),
+            np.asarray(x))
+
+    def test_block_matmat_matches_per_vector(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+            deinterleave_vec, dia_matmat_il, il_rows, interleave_dia_vals,
+            interleave_vec)
+        n, offsets = 17000, (-5, 0, 5)
+        dia = banded_full(n, bandwidth=5, seed=2)
+        rng = np.random.default_rng(3)
+        R = il_rows(n, 64)
+        vil = interleave_dia_vals(dia.data.astype(jnp.float32), R)
+        xs = rng.standard_normal((4, n)).astype(np.float32)
+        xs_il = jnp.stack([interleave_vec(jnp.asarray(v), R) for v in xs])
+        ys = dia_matmat_il(vil, dia.offsets, xs_il, tile_s=64,
+                           force="interpret")
+        for j in range(4):
+            y_ref = dia_matvec(dia.data.astype(jnp.float32), dia.offsets,
+                               jnp.asarray(xs[j]), force="xla")
+            np.testing.assert_allclose(
+                np.asarray(deinterleave_vec(ys[j], n)), np.asarray(y_ref),
+                rtol=1e-4, atol=1e-4)
+
+    def test_operator_protocol_and_power_method(self, key):
+        dia = banded_full(4000, bandwidth=5, dtype=np.float32, seed=3)
+        il = dia.interleaved()
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(4000),
+                        jnp.float32)
+        y1 = np.asarray(dia.matvec(x))
+        y2 = np.asarray(il.decode_vec(il.matvec(il.encode_vec(x))))
+        np.testing.assert_allclose(y2, y1, rtol=1e-6, atol=1e-6)
+        opts = SolverOptions(max_iterations=1000, tolerance=1e-8)
+        r1 = power_method(dia, opts, key=key)
+        r2 = power_method(il, opts, key=key)
+        assert bool(r1.converged) and bool(r2.converged)
+        np.testing.assert_allclose(float(r2.eigenvalue),
+                                   float(r1.eigenvalue), rtol=1e-5)
+        assert r2.eigenvector.shape == (4000,)  # decoded back to natural
+
+    def test_to_natural_roundtrip_and_queries(self):
+        dia = banded_full(1000, bandwidth=3, dtype=np.float32, seed=4)
+        il = dia.interleaved()
+        nat = il.to_natural()
+        np.testing.assert_allclose(np.asarray(nat.data),
+                                   np.asarray(dia.data), rtol=0)
+        assert il.bandwidth == dia.bandwidth
+        assert not il.is_dense
+        np.testing.assert_allclose(np.asarray(il.diagonal()),
+                                   np.asarray(dia.diagonal()), rtol=0)
+        with pytest.raises(TypeError, match="not sparse CSR"):
+            il.as_csr()
+
+    def test_bf16_storage_f32_accumulation(self):
+        dia = banded_full(20000, bandwidth=4, dtype=np.float32, seed=5)
+        il16 = dia.interleaved(dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(20000),
+                        jnp.float32)
+        y16 = il16.decode_vec(il16.matvec(il16.encode_vec(x)))
+        assert y16.dtype == jnp.float32  # accumulation promoted
+        y32 = dia.matvec(x)
+        rel = float(jnp.max(jnp.abs(y16 - y32)) / jnp.max(jnp.abs(y32)))
+        assert rel < 2e-2  # bf16 storage precision, not a logic error
