@@ -404,25 +404,44 @@ def _dia_il_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s):
     out_ref[...] = acc
 
 
+# Above this many bytes the haloed x window streams from HBM per tile
+# instead of living whole in VMEM (16 MiB VMEM minus vals double-buffers).
+_WINDOW_VMEM_BUDGET = 4 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
 def _dia_matvec_il_pallas(vals_il: jax.Array, x_il: jax.Array, offsets: tuple,
                           tile_s: int, interpret: bool) -> jax.Array:
     k, R, _ = vals_il.shape
     pr = _il_halo(offsets)
-    w = _il_window(x_il.astype(jnp.promote_types(x_il.dtype, jnp.float32)), pr)
+    wdt = jnp.promote_types(x_il.dtype, jnp.float32)
+    w = _il_window(x_il.astype(wdt), pr)
     out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    stream = w.size * w.dtype.itemsize > _WINDOW_VMEM_BUDGET and not interpret
+    if stream:
+        kernel = functools.partial(_dia_il_kernel_stream,
+                                   plan=_il_plan(offsets, pr), pr=pr,
+                                   tile_s=tile_s)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((tile_s + 2 * pr, LANES), wdt),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        kernel = functools.partial(_dia_il_kernel, plan=_il_plan(offsets, pr),
+                                   pr=pr, tile_s=tile_s)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
     return pl.pallas_call(
-        functools.partial(_dia_il_kernel, plan=_il_plan(offsets, pr), pr=pr,
-                          tile_s=tile_s),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((R, LANES), out_dt),
         grid=(R // tile_s,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole haloed window
+            x_spec,
             pl.BlockSpec((k, tile_s, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_s, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * R * LANES, transcendentals=0,
             bytes_accessed=(k * R * LANES + 2 * R * LANES)
@@ -464,6 +483,48 @@ def dia_matvec_il(vals_il: jax.Array, offsets: tuple, x_il: jax.Array, *,
     return y.reshape(LANES, R).T
 
 
+def _dia_il_kernel_stream(w_hbm, vals_ref, out_ref, w_vmem, sem, *,
+                          plan, pr, tile_s):
+    """Streamed-window variant: x's haloed window stays in HBM and each
+    tile DMAs only its (tile_s + 2*pr, 128) slice into VMEM scratch — VMEM
+    use is O(tile), not O(n), so arbitrarily large vectors fit. The x
+    stream is 1/k of the diagonal traffic, so the serialized DMA is cheap
+    (the vals stream is still double-buffered by the Pallas pipeline)."""
+    i = pl.program_id(0)
+    win = tile_s + 2 * pr
+    cp = pltpu.make_async_copy(w_hbm.at[pl.ds(i * tile_s, win), :], w_vmem, sem)
+    cp.start()
+    cp.wait()
+    w = w_vmem[...]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wb = w if b == 0 else pltpu.roll(w, win - b, 0)
+        for d, st in items:
+            seg = jax.lax.slice_in_dim(wb, st, st + tile_s, axis=0)
+            acc = acc + vals_ref[d].astype(acc_dt) * seg.astype(acc_dt)
+    out_ref[...] = acc
+
+
+def _dia_il_block_kernel_stream(w_hbm, vals_ref, out_ref, w_vmem, sem, *,
+                                plan, pr, tile_s, nvec):
+    i = pl.program_id(0)
+    win = tile_s + 2 * pr
+    cp = pltpu.make_async_copy(w_hbm.at[:, pl.ds(i * tile_s, win), :],
+                               w_vmem, sem)
+    cp.start()
+    cp.wait()
+    w = w_vmem[...]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc = jnp.zeros((nvec, tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wb = w if b == 0 else pltpu.roll(w, win - b, 1)
+        for d, st in items:
+            seg = jax.lax.slice_in_dim(wb, st, st + tile_s, axis=1)
+            acc = acc + vals_ref[d][None].astype(acc_dt) * seg.astype(acc_dt)
+    out_ref[...] = acc
+
+
 def _dia_il_block_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s, nvec):
     """Block variant: nvec stacked vectors share one read of the diagonal
     block; rolls/slices act on the (nvec, win, 128) window's sublane axis."""
@@ -487,21 +548,35 @@ def _dia_matmat_il_pallas(vals_il: jax.Array, xs_il: jax.Array, offsets: tuple,
     k, R, _ = vals_il.shape
     nvec = xs_il.shape[0]
     pr = _il_halo(offsets)
-    w = jax.vmap(lambda v: _il_window(v, pr))(
-        xs_il.astype(jnp.promote_types(xs_il.dtype, jnp.float32)))
+    wdt = jnp.promote_types(xs_il.dtype, jnp.float32)
+    w = jax.vmap(lambda v: _il_window(v, pr))(xs_il.astype(wdt))
     out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    stream = w.size * w.dtype.itemsize > _WINDOW_VMEM_BUDGET and not interpret
+    if stream:
+        kernel = functools.partial(_dia_il_block_kernel_stream,
+                                   plan=_il_plan(offsets, pr), pr=pr,
+                                   tile_s=tile_s, nvec=nvec)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((nvec, tile_s + 2 * pr, LANES), wdt),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        kernel = functools.partial(_dia_il_block_kernel,
+                                   plan=_il_plan(offsets, pr), pr=pr,
+                                   tile_s=tile_s, nvec=nvec)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
     return pl.pallas_call(
-        functools.partial(_dia_il_block_kernel, plan=_il_plan(offsets, pr),
-                          pr=pr, tile_s=tile_s, nvec=nvec),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((nvec, R, LANES), out_dt),
         grid=(R // tile_s,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((k, tile_s, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nvec, tile_s, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * R * LANES * nvec, transcendentals=0,
             bytes_accessed=(k * R * LANES + 2 * nvec * R * LANES)

@@ -25,7 +25,7 @@ from ..core.dtypes import check_scalar_type
 from ..core.options import SolverOptions
 from ..core.results import QRResult
 from ..core.tolerance import is_close_relative
-from ..matrix.dia import SparseDIA
+from ..matrix.dia import InterleavedDIA, SparseDIA
 from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
 from ..ops.pallas.dia_spmv import dia_matmat
 from ..utils.prng import default_key
@@ -64,6 +64,40 @@ def _subspace_chunk(M: AbstractMatrix, X: jax.Array, sweeps: int):
     return X, B
 
 
+# --- row-domain variant (InterleavedDIA fast path) -----------------------
+# Block vectors live as Xf (b, N): each ROW is one flattened interleaved
+# domain vector. Gram matrices and triangular combinations are permutation-
+# invariant over N, so the CholeskyQR2 algebra transposes cleanly:
+# Q = X L^{-H}  (columns)  <=>  Qf = conj(L)^{-1} Xf  (rows).
+
+
+def _apply_block_rows(M: InterleavedDIA, Xf: jax.Array) -> jax.Array:
+    b = Xf.shape[0]
+    return M.matmat(Xf.reshape(b, M.R, -1)).reshape(b, -1)
+
+
+def _cholqr2_rows(Xf: jax.Array) -> jax.Array:
+    def one(Xc):
+        G = jnp.conj(Xc) @ Xc.T
+        eps = jnp.asarray(1e-7 if Xc.dtype in (jnp.float32, jnp.complex64)
+                          else 1e-14, G.real.dtype if hasattr(G, "real") else G.dtype)
+        G = G + eps * jnp.trace(G).real.astype(G.dtype) * jnp.eye(G.shape[0], dtype=G.dtype)
+        L = jnp.linalg.cholesky(G)
+        return jax.scipy.linalg.solve_triangular(jnp.conj(L), Xc, lower=True)
+
+    return one(one(Xf))
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _subspace_chunk_rows(M: InterleavedDIA, Xf: jax.Array, sweeps: int):
+    def body(_, Xc):
+        return _cholqr2_rows(_apply_block_rows(M, Xc))
+
+    Xf = jax.lax.fori_loop(0, sweeps, body, Xf)
+    B = jnp.conj(Xf) @ _apply_block_rows(M, Xf).T
+    return Xf, B
+
+
 def subspace_iteration(M: AbstractMatrix, k: int = 4, *, block: int | None = None,
                        opts: SolverOptions = SolverOptions(), dtype=None,
                        sweeps_per_check: int = 10, key=None,
@@ -86,14 +120,21 @@ def subspace_iteration(M: AbstractMatrix, k: int = 4, *, block: int | None = Non
         raise ValueError(f"subspace_iteration: block ({b}) must be >= k ({k})")
     b = min(b, n)
 
+    rows_mode = isinstance(M, InterleavedDIA)
+    vec_dt = jnp.promote_types(M.dtype, jnp.float32)
     if X0 is None:
         X = jax.random.uniform(key if key is not None else default_key(),
-                               (n, b), jnp.dtype(M.dtype)
+                               (n, b), jnp.dtype(vec_dt)
                                if np.dtype(M.dtype).kind != "c" else jnp.float64,
-                               minval=-1.0, maxval=1.0).astype(M.dtype)
+                               minval=-1.0, maxval=1.0).astype(vec_dt)
     else:
-        X = jnp.asarray(X0, M.dtype)
-    X = _cholqr2(X)
+        X = jnp.asarray(X0, vec_dt)
+    if rows_mode:
+        # encode each column into the interleaved domain, rows = vectors
+        X = jax.vmap(M.encode_vec, in_axes=1)(X).reshape(b, -1)
+        X = _cholqr2_rows(X)
+    else:
+        X = _cholqr2(X)
 
     prev = None
     total = 0
@@ -101,7 +142,8 @@ def subspace_iteration(M: AbstractMatrix, k: int = 4, *, block: int | None = Non
     ritz = np.zeros(k, np.complex128)
     max_checks = -(-opts.max_iterations // sweeps_per_check)
     for _ in range(max_checks):
-        X, B = _subspace_chunk(M, X, sweeps_per_check)
+        X, B = (_subspace_chunk_rows(M, X, sweeps_per_check) if rows_mode
+                else _subspace_chunk(M, X, sweeps_per_check))
         total += sweeps_per_check
         w = np.linalg.eigvals(np.asarray(jax.device_get(B)))
         w = w[np.argsort(-np.abs(w))][:k]

@@ -85,3 +85,17 @@ class TestSubspaceIteration:
         M2 = es.DenseMatrix.from_array(np.eye(6))
         with pytest.raises(ValueError, match="block .2. must be >= k"):
             subspace_iteration(M2, k=3, block=2)
+
+    def test_interleaved_rows_mode_matches_natural(self, key):
+        # InterleavedDIA routes through the row-domain CholeskyQR2 chunk
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        dia = banded_full(3000, bandwidth=4, dtype=np.float32, seed=9,
+                          diag_boost=1.0)
+        il = dia.interleaved()
+        opts = es.SolverOptions(max_iterations=3000, tolerance=1e-7)
+        r1 = subspace_iteration(dia, k=4, opts=opts, key=key)
+        r2 = subspace_iteration(il, k=4, opts=opts, key=key)
+        assert bool(r1.converged) and bool(r2.converged)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(r2.eigenvalues).real),
+            np.sort(np.asarray(r1.eigenvalues).real), rtol=1e-4)
