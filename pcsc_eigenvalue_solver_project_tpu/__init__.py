@@ -36,7 +36,7 @@ from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
 from .solvers.subspace import subspace_iteration
 from .matrix.dia import InterleavedDIA, SparseDIA
-from .matrix.split_complex import SplitComplexDIA
+from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
 from .solvers.power import power_method_split_complex
 
 __version__ = "0.1.0"
@@ -46,6 +46,7 @@ __all__ = [
     "DenseMatrix",
     "InterleavedDIA",
     "SparseDIA",
+    "InterleavedSplitComplexDIA",
     "SplitComplexDIA",
     "arnoldi_eigenvalues",
     "power_method_split_complex",

@@ -60,6 +60,25 @@ class SplitComplexDIA:
         """(2, n) real planes -> (2, n) real planes."""
         return dia_matvec_planes(self.planes, self.offsets, x_planes, force=force)
 
+    # identity codec (protocol symmetry with the interleaved variant)
+    def encode_vec(self, x_planes):
+        return x_planes
+
+    def decode_vec(self, x_planes):
+        return x_planes
+
+    def interleaved(self, tile_s: int | None = None) -> "InterleavedSplitComplexDIA":
+        """Lane-major layout: same sublane-shift fast path as
+        SparseDIA.interleaved(), fused complex arithmetic."""
+        from ..ops.pallas.dia_spmv import (DEFAULT_IL_TILE, il_rows,
+                                           interleave_dia_vals)
+        ts = DEFAULT_IL_TILE if tile_s is None else tile_s
+        R = il_rows(self.shape[0], ts)
+        planes_il = jax.vmap(lambda p: interleave_dia_vals(p, R))(self.planes)
+        return InterleavedSplitComplexDIA(planes_il=planes_il,
+                                          offsets=self.offsets,
+                                          shape=self.shape, tile_s=ts)
+
     def to_complex_dense(self) -> np.ndarray:
         """Host-side dense complex materialisation (tests/oracles)."""
         p = np.asarray(self.planes)
@@ -70,3 +89,53 @@ class SplitComplexDIA:
             valid = (i + off >= 0) & (i + off < n)
             out[i[valid], i[valid] + off] = p[0, d, valid] + 1j * p[1, d, valid]
         return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InterleavedSplitComplexDIA:
+    """Split-plane complex banded matrix in the lane-major interleaved
+    layout: planes (2, k, R, 128); vectors are (2, R, 128) plane arrays.
+    The split-complex power loop (solvers/power.py) iterates entirely in
+    this domain — its reductions are permutation-invariant."""
+
+    planes_il: jax.Array  # (2, k, R, 128) real
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    tile_s: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.planes_il.dtype)
+
+    @property
+    def is_dense(self) -> bool:
+        return False
+
+    @property
+    def R(self) -> int:
+        return self.planes_il.shape[2]
+
+    def encode_vec(self, x_planes):
+        """(2, n) plane vector -> (2, R, 128)."""
+        from ..ops.pallas.dia_spmv import interleave_vec
+        return jax.vmap(lambda v: interleave_vec(v, self.R))(x_planes)
+
+    def decode_vec(self, x_il_planes):
+        from ..ops.pallas.dia_spmv import deinterleave_vec
+        return jax.vmap(lambda v: deinterleave_vec(v, self.shape[0]))(x_il_planes)
+
+    def matvec(self, x_il_planes, *, force=None):
+        from ..ops.pallas.dia_spmv import dia_matvec_il_planes
+        return dia_matvec_il_planes(self.planes_il, self.offsets, x_il_planes,
+                                    tile_s=self.tile_s, force=force)
+
+    def to_natural(self) -> SplitComplexDIA:
+        _, k, R, L = self.planes_il.shape
+        n = self.shape[0]
+        planes = self.planes_il.transpose(0, 1, 3, 2).reshape(2, k, R * L)[:, :, :n]
+        return SplitComplexDIA(planes=planes, offsets=self.offsets,
+                               shape=self.shape)
+
+    def to_complex_dense(self) -> np.ndarray:
+        return self.to_natural().to_complex_dense()

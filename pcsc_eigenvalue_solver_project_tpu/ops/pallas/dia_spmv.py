@@ -525,6 +525,124 @@ def _dia_il_block_kernel_stream(w_hbm, vals_ref, out_ref, w_vmem, sem, *,
     out_ref[...] = acc
 
 
+def _dia_il_planes_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s):
+    """Split-plane complex tile in the interleaved layout: planes on the
+    leading axis (0=re, 1=im); <=8 sublane rolls per plane per tile, then
+    one aligned slice + 4 FMAs per diagonal (fused complex multiply)."""
+    i = pl.program_id(0)
+    win = tile_s + 2 * pr
+    base = pl.multiple_of(i * tile_s, tile_s)
+    w_re = w_ref[0, pl.ds(base, win), :]
+    w_im = w_ref[1, pl.ds(base, win), :]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc_re = jnp.zeros((tile_s, LANES), acc_dt)
+    acc_im = jnp.zeros((tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wr = w_re if b == 0 else pltpu.roll(w_re, win - b, 0)
+        wi = w_im if b == 0 else pltpu.roll(w_im, win - b, 0)
+        for d, st in items:
+            a_re = jax.lax.slice_in_dim(wr, st, st + tile_s, axis=0).astype(acc_dt)
+            a_im = jax.lax.slice_in_dim(wi, st, st + tile_s, axis=0).astype(acc_dt)
+            vre = vals_ref[0, d].astype(acc_dt)
+            vim = vals_ref[1, d].astype(acc_dt)
+            acc_re = acc_re + vre * a_re - vim * a_im
+            acc_im = acc_im + vre * a_im + vim * a_re
+    out_ref[0] = acc_re
+    out_ref[1] = acc_im
+
+
+def _dia_il_planes_kernel_stream(w_hbm, vals_ref, out_ref, w_vmem, sem, *,
+                                 plan, pr, tile_s):
+    i = pl.program_id(0)
+    win = tile_s + 2 * pr
+    cp = pltpu.make_async_copy(w_hbm.at[:, pl.ds(i * tile_s, win), :],
+                               w_vmem, sem)
+    cp.start()
+    cp.wait()
+    w_re = w_vmem[0]
+    w_im = w_vmem[1]
+    acc_dt = jnp.promote_types(vals_ref.dtype, jnp.float32)
+    acc_re = jnp.zeros((tile_s, LANES), acc_dt)
+    acc_im = jnp.zeros((tile_s, LANES), acc_dt)
+    for b, items in plan:
+        wr = w_re if b == 0 else pltpu.roll(w_re, win - b, 0)
+        wi = w_im if b == 0 else pltpu.roll(w_im, win - b, 0)
+        for d, st in items:
+            a_re = jax.lax.slice_in_dim(wr, st, st + tile_s, axis=0).astype(acc_dt)
+            a_im = jax.lax.slice_in_dim(wi, st, st + tile_s, axis=0).astype(acc_dt)
+            vre = vals_ref[0, d].astype(acc_dt)
+            vim = vals_ref[1, d].astype(acc_dt)
+            acc_re = acc_re + vre * a_re - vim * a_im
+            acc_im = acc_im + vre * a_im + vim * a_re
+    out_ref[0] = acc_re
+    out_ref[1] = acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
+def _dia_matvec_il_planes_pallas(vals_il_p: jax.Array, x_il_p: jax.Array,
+                                 offsets: tuple, tile_s: int,
+                                 interpret: bool) -> jax.Array:
+    _, k, R, _ = vals_il_p.shape
+    pr = _il_halo(offsets)
+    wdt = jnp.promote_types(x_il_p.dtype, jnp.float32)
+    w = jax.vmap(lambda v: _il_window(v, pr))(x_il_p.astype(wdt))
+    out_dt = jnp.promote_types(vals_il_p.dtype, jnp.float32)
+    stream = w.size * w.dtype.itemsize > _WINDOW_VMEM_BUDGET and not interpret
+    if stream:
+        kernel = functools.partial(_dia_il_planes_kernel_stream,
+                                   plan=_il_plan(offsets, pr), pr=pr,
+                                   tile_s=tile_s)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((2, tile_s + 2 * pr, LANES), wdt),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        kernel = functools.partial(_dia_il_planes_kernel,
+                                   plan=_il_plan(offsets, pr), pr=pr,
+                                   tile_s=tile_s)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, R, LANES), out_dt),
+        grid=(R // tile_s,),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((2, k, tile_s, LANES), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile_s, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * k * R * LANES, transcendentals=0,
+            bytes_accessed=(2 * k * R * LANES + 4 * R * LANES)
+            * vals_il_p.dtype.itemsize),
+        interpret=interpret,
+    )(w, vals_il_p)
+
+
+def dia_matvec_il_planes(vals_il_p: jax.Array, offsets: tuple,
+                         x_il_p: jax.Array, *,
+                         tile_s: int = DEFAULT_IL_TILE,
+                         force: str | None = None) -> jax.Array:
+    """Interleaved split-plane complex SpMV: vals (2, k, R, 128) real,
+    x (2, R, 128) real -> (2, R, 128) real (y = A x with A, x complex)."""
+    _, k, R, _ = vals_il_p.shape
+    if _il_halo(offsets) > R:
+        raise ValueError("dia_matvec_il_planes: bandwidth exceeds chunk size R")
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_il_p.dtype in (jnp.float32, jnp.bfloat16)))
+    if use_pallas:
+        return _dia_matvec_il_planes_pallas(vals_il_p, x_il_p, tuple(offsets),
+                                            tile_s, interpret)
+    vals_p = vals_il_p.transpose(0, 1, 3, 2).reshape(2, k, R * LANES)
+    x_p = x_il_p.transpose(0, 2, 1).reshape(2, R * LANES)
+    y = dia_matvec_planes(vals_p, offsets, x_p, force="xla")
+    return y.reshape(2, LANES, R).transpose(0, 2, 1)
+
+
 def _dia_il_block_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s, nvec):
     """Block variant: nvec stacked vectors share one read of the diagonal
     block; rolls/slices act on the (nvec, win, 128) window's sublane axis."""

@@ -186,9 +186,12 @@ def power_method_split_complex(M, opts: SolverOptions = SolverOptions(), *,
             raise ValueError("power_method_split_complex: x0 must be (2, n) planes")
         nrm = jnp.sqrt(jnp.sum(x0 * x0))
         x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm))
-    return _power_loop_split(M, x0,
-                             jnp.asarray(opts.max_iterations, jnp.int32),
-                             jnp.asarray(opts.tolerance, rdt))
+    x0 = M.encode_vec(x0)  # identity for SplitComplexDIA; interleave otherwise
+    r = _power_loop_split(M, x0,
+                          jnp.asarray(opts.max_iterations, jnp.int32),
+                          jnp.asarray(opts.tolerance, rdt))
+    import dataclasses as _dc
+    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
 
 
 def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
@@ -200,8 +203,9 @@ def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
     power_method.hpp:137-139). ``key``/``x0`` control the random start.
     Split-plane complex operators are routed to the plane-based loop.
     """
-    from ..matrix.split_complex import SplitComplexDIA
-    if isinstance(M, SplitComplexDIA):
+    from ..matrix.split_complex import (InterleavedSplitComplexDIA,
+                                        SplitComplexDIA)
+    if isinstance(M, (SplitComplexDIA, InterleavedSplitComplexDIA)):
         return power_method_split_complex(M, opts, key=key, x0=x0)
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "power_method")

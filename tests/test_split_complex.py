@@ -131,3 +131,60 @@ class TestSplitPowerMethod:
         M = SplitComplexDIA(planes=jnp.zeros((2, 1, 4)), offsets=(0,), shape=(4, 5))
         with pytest.raises(ValueError, match="square"):
             power_method_split_complex(M)
+
+
+class TestInterleavedSplitComplex:
+    """Lane-major split-plane kernel + power loop integration."""
+
+    def _banded_planes(self, n, offs, seed=0, dtype=np.float32):
+        rng = np.random.default_rng(seed)
+        k = len(offs)
+        planes = np.zeros((2, k, n), dtype)
+        for d, off in enumerate(offs):
+            planes[0, d] = rng.standard_normal(n)
+            planes[1, d] = rng.standard_normal(n)
+            if off > 0:
+                planes[:, d, n - off:] = 0
+            elif off < 0:
+                planes[:, d, :-off] = 0
+        return SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                               shape=(n, n))
+
+    def test_il_planes_matvec_matches_xla(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import from_planes
+        sc = self._banded_planes(20000, (-7, -2, 0, 3, 7), seed=1)
+        il = sc.interleaved()
+        rng = np.random.default_rng(2)
+        zp = jnp.asarray(np.stack([rng.standard_normal(20000),
+                                   rng.standard_normal(20000)]), jnp.float32)
+        y_ref = from_planes(np.asarray(sc.matvec(zp, force="xla")))
+        y_il = from_planes(np.asarray(il.decode_vec(
+            il.matvec(il.encode_vec(zp), force="interpret"))))
+        np.testing.assert_allclose(y_il, y_ref, rtol=2e-4, atol=2e-4)
+        y_fb = from_planes(np.asarray(il.decode_vec(
+            il.matvec(il.encode_vec(zp), force="xla"))))
+        np.testing.assert_allclose(y_fb, y_ref, rtol=1e-6, atol=1e-6)
+
+    def test_power_method_through_il(self, key):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import from_planes
+        from pcsc_eigenvalue_solver_project_tpu import SolverOptions, power_method
+        sc = self._banded_planes(300, (-2, 0, 1), seed=3)
+        il = sc.interleaved()
+        opts = SolverOptions(max_iterations=5000, tolerance=1e-6)
+        r1 = power_method(sc, opts, key=key)
+        r2 = power_method(il, opts, key=key)
+        assert bool(r1.converged) and bool(r2.converged)
+        l1 = from_planes(np.asarray(r1.eigenvalue))
+        l2 = from_planes(np.asarray(r2.eigenvalue))
+        ev = np.linalg.eigvals(sc.to_complex_dense())
+        dom = ev[np.argmax(np.abs(ev))]
+        assert abs(l2 - dom) < 1e-3 * abs(dom)
+        assert abs(l1 - l2) < 1e-3 * abs(dom)
+        assert r2.eigenvector.shape == (2, 300)  # decoded to natural planes
+
+    def test_to_natural_roundtrip(self):
+        sc = self._banded_planes(1000, (-3, 0, 4), seed=4)
+        il = sc.interleaved()
+        nat = il.to_natural()
+        np.testing.assert_array_equal(np.asarray(nat.planes),
+                                      np.asarray(sc.planes))
