@@ -412,10 +412,21 @@ _WINDOW_VMEM_BUDGET = 4 * 1024 * 1024
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
 def _dia_matvec_il_pallas(vals_il: jax.Array, x_il: jax.Array, offsets: tuple,
                           tile_s: int, interpret: bool) -> jax.Array:
-    k, R, _ = vals_il.shape
     pr = _il_halo(offsets)
     wdt = jnp.promote_types(x_il.dtype, jnp.float32)
     w = _il_window(x_il.astype(wdt), pr)
+    return _dia_matvec_il_window_pallas(vals_il, w, offsets, tile_s, interpret)
+
+
+def _dia_matvec_il_window_pallas(vals_il: jax.Array, w: jax.Array,
+                                 offsets: tuple, tile_s: int,
+                                 interpret: bool) -> jax.Array:
+    """Core: SpMV from a PRE-BUILT haloed window (R + 2*pr, 128). The
+    distributed path (parallel/dia.py) fills the seam-lane halo entries
+    with neighbor-shard data via ppermute before calling this."""
+    k, R, _ = vals_il.shape
+    pr = _il_halo(offsets)
+    wdt = w.dtype
     out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
     stream = w.size * w.dtype.itemsize > _WINDOW_VMEM_BUDGET and not interpret
     if stream:
@@ -481,6 +492,44 @@ def dia_matvec_il(vals_il: jax.Array, offsets: tuple, x_il: jax.Array, *,
             seg = jnp.pad(x[:off], (-off, 0))
         y = y + vals[d] * seg
     return y.reshape(LANES, R).T
+
+
+def il_window_halo(offsets) -> int:
+    """The pr (sublane halo) a pre-built window for ``dia_matvec_il_window``
+    must carry: bandwidth rounded up to the vreg sublane count."""
+    return _il_halo(offsets)
+
+
+def dia_matvec_il_window(vals_il: jax.Array, offsets: tuple, w: jax.Array, *,
+                         tile_s: int = DEFAULT_IL_TILE,
+                         force: str | None = None) -> jax.Array:
+    """Interleaved SpMV from a caller-built haloed window (R + 2*pr, 128).
+
+    Unlike ``dia_matvec_il`` (which zero-fills the global-edge seam halos),
+    the window here may carry ANY values in the halo region — e.g. the
+    neighbor shard's entries in the distributed row partition. Semantics:
+    ``y[s, l] = sum_d vals[d, s, l] * w[pr + s + off_d, l]``.
+    """
+    k, R, _ = vals_il.shape
+    pr = _il_halo(offsets)
+    if w.shape[0] != R + 2 * pr:
+        raise ValueError(
+            f"dia_matvec_il_window: window has {w.shape[0]} sublanes, "
+            f"expected R + 2*pr = {R + 2 * pr}")
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_il.dtype in (jnp.float32, jnp.bfloat16)))
+    if use_pallas:
+        return _dia_matvec_il_window_pallas(
+            vals_il, w.astype(jnp.promote_types(w.dtype, jnp.float32)),
+            tuple(offsets), tile_s, interpret)
+    out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    y = jnp.zeros((R, w.shape[1]), out_dt)
+    for d, off in enumerate(offsets):
+        seg = jax.lax.slice_in_dim(w, pr + off, pr + off + R, axis=0)
+        y = y + vals_il[d].astype(out_dt) * seg.astype(out_dt)
+    return y
 
 
 def _dia_il_kernel_stream(w_hbm, vals_ref, out_ref, w_vmem, sem, *,
