@@ -34,6 +34,7 @@ from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
+from .solvers.lanczos import lanczos_eigenvalues
 from .solvers.subspace import subspace_iteration
 from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
@@ -49,6 +50,7 @@ __all__ = [
     "InterleavedSplitComplexDIA",
     "SplitComplexDIA",
     "arnoldi_eigenvalues",
+    "lanczos_eigenvalues",
     "power_method_split_complex",
     "EigenResult",
     "QROptions",

@@ -1,0 +1,174 @@
+"""Lanczos iteration — top-k eigenvalues of symmetric/Hermitian operators.
+
+The symmetric specialisation of Arnoldi (solvers/arnoldi.py): the projected
+matrix is tridiagonal, so the recurrence keeps only three vectors and the
+small solve is an ``eigh`` of a real tridiagonal — O(m^2) instead of the
+shifted-QR O(m^3), with Ritz-residual bounds ``|beta_m * s_{m,i}|`` for
+free. The reference has no sparse-spectrum capability at all (its QR stack
+is dense-only, qr_eigenvalues.hpp:131-133); this is part of the TPU-native
+superset mandated by the BASELINE large-sparse configs.
+
+TPU structure: the whole basis build is one jitted ``fori_loop`` whose only
+O(n) ops are the operator's matvec and (optionally) a full
+reorthogonalisation pass written as TWO matmuls against the fixed-shape
+basis — rows beyond the current step are zero, so no masking is needed and
+both products run on the MXU. Reductions are injectable so the distributed
+build (parallel/lanczos.py) reuses this verbatim with psum'd versions.
+
+Hermitian input is the caller's contract (as with every Lanczos
+implementation); the Rayleigh coefficients are taken as their real parts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import check_scalar_type, real_dtype_of
+from ..core.options import SolverOptions
+from ..core.results import QRResult
+from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
+from ..utils.prng import default_key, random_unit_vector
+
+
+def _default_project(V, w):
+    """c_i = <V_i, w> for the reorthogonalisation pass (vector axes of w
+    may be multi-dimensional, e.g. the interleaved (R, 128) layout)."""
+    return jnp.tensordot(jnp.conj(V), w, axes=w.ndim)
+
+
+def lanczos_decomposition(matvec, x0: jax.Array, m: int, *, vdot=jnp.vdot,
+                          norm=jnp.linalg.norm, project=_default_project,
+                          reorth: bool = True):
+    """Three-term Lanczos factorisation ``A V_m = V_m T_m + beta_m v_{m+1}``.
+
+    Returns ``(V, alpha, beta, breakdown_at)``: V ``(m+1, *x0.shape)``,
+    ``alpha`` (m,) real diagonal, ``beta`` (m,) real subdiagonal
+    (``beta[j] = T[j+1, j]``; ``beta[m-1]`` is the residual norm used in
+    Ritz bounds), ``breakdown_at`` the step where the subspace became
+    invariant (m if none). Fixed shapes; masked updates after breakdown.
+
+    ``reorth=True`` adds one full classical Gram-Schmidt pass per step
+    (two MXU matmuls) — without it, finite-precision Lanczos loses
+    orthogonality once Ritz values converge (ghost eigenvalues).
+    """
+    dtype = x0.dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
+
+    V0 = jnp.zeros((m + 1,) + x0.shape, dtype).at[0].set(
+        x0 / norm(x0).astype(dtype))
+    alpha0 = jnp.zeros((m,), rdt)
+    beta0 = jnp.zeros((m,), rdt)
+
+    def outer(j, carry):
+        V, alpha, beta, brk = carry
+        v = V[j]
+        w = matvec(v)
+        a = jnp.real(vdot(v, w)).astype(rdt)
+        # three-term recurrence; V[j-1] is the zero row m when j == 0
+        # (dynamic index clamps) and the coefficient is 0 there anyway
+        b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
+                           jnp.zeros((), rdt))
+        w = w - a.astype(dtype) * v - b_prev.astype(dtype) * V[jnp.maximum(j - 1, 0)]
+        if reorth:
+            # rows > j of V are zero -> unmasked full pass is exact
+            c = project(V, w)
+            w = w - jnp.tensordot(c, V, axes=[[0], [0]])
+        b = norm(w).astype(rdt)
+        # epsilon-relative breakdown (invariant subspace): the exact b == 0
+        # never fires in floating point once reorthogonalisation leaves
+        # O(eps) noise; scale by the current recurrence magnitudes
+        scale = jnp.maximum(jnp.abs(a), b_prev)
+        breakdown = b <= 100 * jnp.finfo(rdt).eps * scale
+        safe = jnp.where(breakdown, jnp.ones((), rdt), b).astype(dtype)
+
+        still = jnp.logical_not(brk < j + 1)
+        V = jnp.where(jnp.logical_and(still, jnp.logical_not(breakdown)),
+                      V.at[j + 1].set(w / safe), V)
+        alpha = jnp.where(still, alpha.at[j].set(a), alpha)
+        beta = jnp.where(jnp.logical_and(still, jnp.logical_not(breakdown)),
+                         beta.at[j].set(b), beta)
+        brk = jnp.where(jnp.logical_and(still, breakdown),
+                        jnp.minimum(brk, j + 1), brk)
+        return (V, alpha, beta, brk)
+
+    V, alpha, beta, brk = jax.lax.fori_loop(
+        0, m, outer, (V0, alpha0, beta0, jnp.asarray(m + 1, jnp.int32)))
+    return V, alpha, beta, jnp.minimum(brk, m)
+
+
+@partial(jax.jit, static_argnames=("m", "reorth"))
+def _lanczos_basis(M: AbstractMatrix, x0: jax.Array, m: int, reorth: bool):
+    return lanczos_decomposition(M.matvec, x0, m, reorth=reorth)
+
+
+def _ritz_from_tridiag(alpha: np.ndarray, beta: np.ndarray, k: int,
+                       which: str, tol: float):
+    """Host-side m x m tridiagonal eigensolve + Ritz residual bounds.
+
+    Returns (ritz (k,), converged) — ``converged`` is True when every
+    selected Ritz pair's residual bound |beta_m s_{m,i}| passes the
+    reference relative criterion against its Ritz value."""
+    m = len(alpha)
+    T = np.diag(alpha)
+    if m > 1:
+        T += np.diag(beta[:m - 1], 1) + np.diag(beta[:m - 1], -1)
+    theta, S = np.linalg.eigh(T)
+    if which == "LA":
+        idx = np.argsort(-theta)[:k]
+    elif which == "SA":
+        idx = np.argsort(theta)[:k]
+    else:  # "LM"
+        idx = np.argsort(-np.abs(theta))[:k]
+    resid = np.abs(beta[m - 1] * S[m - 1, idx])
+    converged = bool(np.all(resid <= tol * (1.0 + np.abs(theta[idx]))))
+    return theta[idx], converged
+
+
+def lanczos_eigenvalues(M: AbstractMatrix, k: int = 6, *, m: int | None = None,
+                        opts: SolverOptions = SolverOptions(),
+                        which: str = "LM", reorth: bool = True, dtype=None,
+                        key=None, x0=None) -> QRResult:
+    """Top-``k`` eigenvalues of a symmetric/Hermitian operator.
+
+    ``which``: "LM" (largest magnitude, default), "LA" (largest algebraic)
+    or "SA" (smallest algebraic). ``m`` defaults to ``min(max(2k+10, 20), n)``
+    Lanczos steps. Returns a ``QRResult`` whose (real) ``eigenvalues`` are
+    the selected Ritz values, ``iterations`` the Krylov steps actually run,
+    and ``converged`` the all-pairs Ritz-residual test at ``opts.tolerance``.
+    """
+    if which not in ("LM", "LA", "SA"):
+        raise ValueError(f"lanczos_eigenvalues: unknown which={which!r}")
+    if dtype is not None:
+        check_scalar_type(M.dtype, dtype, "lanczos_eigenvalues")
+    require_square(M, "lanczos_eigenvalues")
+    require_nonempty(M, "lanczos_eigenvalues")
+    n = M.shape[0]
+    if k < 1:
+        raise ValueError("lanczos_eigenvalues: k must be >= 1")
+    if m is None:
+        m = min(max(2 * k + 10, 20), n)
+    m = min(m, n)
+    if k > m:
+        raise ValueError(f"lanczos_eigenvalues: k ({k}) must be <= m ({m})")
+
+    vec_dt = jnp.promote_types(M.dtype, jnp.float32)
+    if x0 is None:
+        x0 = random_unit_vector(key if key is not None else default_key(),
+                                n, vec_dt)
+    else:
+        x0 = jnp.asarray(x0, vec_dt)
+    x0 = M.encode_vec(x0)
+
+    V, alpha, beta, brk = _lanczos_basis(M, x0, m, reorth)
+    steps = int(np.asarray(brk)) if int(np.asarray(brk)) < m else m
+    steps = max(steps, 1)
+    ritz, converged = _ritz_from_tridiag(
+        np.asarray(alpha)[:steps], np.asarray(beta)[:steps],
+        min(k, steps), which, float(opts.tolerance))
+    return QRResult(eigenvalues=jnp.asarray(ritz),
+                    iterations=jnp.asarray(steps, jnp.int32),
+                    converged=jnp.asarray(converged))
