@@ -96,7 +96,7 @@ def gmres(matvec, b, *, vdot, norm, m=30, tol=1e-12, atol=0.0,
     from ..solvers.arnoldi import arnoldi_decomposition
 
     dtype = b.dtype
-    n = b.shape[0]
+    n = b.size
     if max_restarts is None:
         max_restarts = max(-(-4 * n // m), 8)
     M = precond if precond is not None else (lambda v: v)
@@ -127,7 +127,9 @@ def gmres(matvec, b, *, vdot, norm, m=30, tol=1e-12, atol=0.0,
         safe = jnp.where(diag_r == 0, jnp.ones((), dtype), diag_r)
         Rsafe = R - jnp.diag(diag_r) + jnp.diag(safe)
         y = jax.scipy.linalg.solve_triangular(Rsafe, rhs, lower=False)
-        u_new = u + V[:m].T @ y
+        # shape-agnostic basis combination (vector axes may be >1-D, e.g.
+        # the interleaved (R, 128) layout)
+        u_new = u + jnp.tensordot(y, V[:m], axes=[[0], [0]])
         r_new = b - op(u_new)
         rn = norm(r_new)
         conv = rn <= atol_eff

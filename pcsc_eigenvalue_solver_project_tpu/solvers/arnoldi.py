@@ -35,11 +35,13 @@ def arnoldi_decomposition(matvec, x0: jax.Array, m: int, *, vdot=jnp.vdot,
     ``breakdown_at`` is the step index where the subspace became invariant
     (m if none). Fixed shapes; masked updates after breakdown.
     """
-    n = x0.shape[0]
     dtype = x0.dtype
     rdt = jnp.dtype(real_dtype_of(dtype))
 
-    V0 = jnp.zeros((m + 1, n), dtype).at[0].set(x0 / norm(x0).astype(dtype))
+    # vector axes may be multi-dimensional (e.g. the interleaved (R, 128)
+    # layout); the basis leads with the Krylov index
+    V0 = jnp.zeros((m + 1,) + x0.shape, dtype).at[0].set(
+        x0 / norm(x0).astype(dtype))
     H0 = jnp.zeros((m + 1, m), dtype)
 
     def outer(j, carry):

@@ -56,7 +56,11 @@ def inverse_power_loop(matvec, solve, vdot, norm, x0: jax.Array,
         k, x, lam, initialized, converged, used, done = c
         y = solve(x)  # (A - shift I) y = x   (shifted_inverse_power_solver.hpp:51)
         norm_y = norm(y).astype(rdt)
-        breakdown = norm_y == 0
+        # breakdown also covers a non-finite inner solve (Krylov breakdown
+        # on near-singular A - shift*I): keep the previous iterate and
+        # report converged=False rather than poisoning the result with NaN
+        breakdown = jnp.logical_or(norm_y == 0,
+                                   jnp.logical_not(jnp.isfinite(norm_y)))
         safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y).astype(dtype)
         x_new = y / safe
         lam_new = vdot(x_new, matvec(x_new))  # Rayleigh quotient on A (:62)
@@ -104,11 +108,42 @@ def _inverse_power_dense(a: jax.Array, shift: jax.Array, x0: jax.Array,
 def _inverse_power_krylov(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
                           max_iterations: jax.Array, tol: jax.Array,
                           inner_tol: jax.Array, inner_maxiter: int) -> EigenResult:
-    diag = M.diagonal()
+    # x0 arrives in the operator's vector domain (see the caller); the
+    # diagonal is encoded to match. Padding positions of an interleaved
+    # layout stay an invariant zero subspace of (A - shift*I) restricted to
+    # zero-padded right-hand sides, so BiCGStab never excites them.
+    diag = M.encode_vec(M.diagonal())
 
     def solve(x):
         return solve_shifted_bicgstab(M.matvec, shift, x, diag=diag,
                                       tol=inner_tol, maxiter=inner_maxiter)
+
+    return inverse_power_loop(M.matvec, solve, jnp.vdot, jnp.linalg.norm,
+                              x0, max_iterations, tol)
+
+
+@partial(jax.jit, static_argnames=("inner_m",))
+def _inverse_power_gmres(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
+                         max_iterations: jax.Array, tol: jax.Array,
+                         inner_tol: jax.Array, inner_m: int) -> EigenResult:
+    """Restarted-GMRES inner solve: more robust than BiCGStab on
+    nonsymmetric near-singular ``A - shift*I`` (the regime of interior
+    shifts, where BiCGStab's rho-breakdown produces NaN directions)."""
+    from ..parallel.krylov import gmres
+    diag = M.encode_vec(M.diagonal())
+    d = diag - shift
+    safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+
+    def shifted_mv(v):
+        return M.matvec(v) - shift * v
+
+    def solve(x):
+        # a handful of restarts suffices: the outer iteration only needs
+        # the inverse-iteration DIRECTION, not a tight linear solve
+        y, _, _ = gmres(shifted_mv, x, vdot=jnp.vdot, norm=jnp.linalg.norm,
+                        m=inner_m, tol=inner_tol, max_restarts=4,
+                        precond=lambda v: v / safe)
+        return y
 
     return inverse_power_loop(M.matvec, solve, jnp.vdot, jnp.linalg.norm,
                               x0, max_iterations, tol)
@@ -198,13 +233,14 @@ def shifted_inverse_power_method(M: AbstractMatrix,
     require_square(M, "shifted_inverse_power_method")
     require_nonempty(M, "shifted_inverse_power_method")
     n = M.shape[0]
+    vec_dt = jnp.promote_types(M.dtype, jnp.float32)  # bf16 ops iterate in f32
     if x0 is None:
-        x0 = random_unit_vector(key if key is not None else default_key(), n, M.dtype)
+        x0 = random_unit_vector(key if key is not None else default_key(), n, vec_dt)
     else:
-        x0 = jnp.asarray(x0, M.dtype)
+        x0 = jnp.asarray(x0, vec_dt)
         nrm = jnp.linalg.norm(x0)
-        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(M.dtype))
-    shift = jnp.asarray(opts.shift, M.dtype)
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm).astype(vec_dt))
+    shift = jnp.asarray(opts.shift, vec_dt)
     # All option scalars ride as traced values: changing the shift,
     # tolerance, or iteration caps never retriggers compilation.
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -219,7 +255,16 @@ def shifted_inverse_power_method(M: AbstractMatrix,
         return _inverse_power_dense(M.to_dense(), shift, x0, max_it, tol)
     if method == "bicgstab":
         inner_maxiter = opts.inner_max_iterations or 4 * n
-        return _inverse_power_krylov(M, shift, x0, max_it, tol,
-                                     jnp.asarray(opts.inner_tolerance, ftype),
-                                     inner_maxiter)
+        r = _inverse_power_krylov(M, shift, M.encode_vec(x0), max_it, tol,
+                                  jnp.asarray(opts.inner_tolerance, ftype),
+                                  inner_maxiter)
+        import dataclasses as _dc
+        return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+    if method == "gmres":
+        inner_m = min(opts.inner_max_iterations or 40, n)
+        r = _inverse_power_gmres(M, shift, M.encode_vec(x0), max_it, tol,
+                                 jnp.asarray(opts.inner_tolerance, ftype),
+                                 inner_m)
+        import dataclasses as _dc
+        return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
     raise ValueError(f"shifted_inverse_power_method: unknown inner method {method!r}")

@@ -8,6 +8,8 @@ tiny-maxIterations iteration-count contract. Adds the Krylov
 SparseLU.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -115,3 +117,66 @@ class TestIterationSemantics:
             M, ShiftedSolverOptions(shift=1.9, max_iterations=1), key=key)
         assert int(res.iterations) == 1
         assert not bool(res.converged)
+
+
+class TestKrylovInnerVariants:
+    """GMRES inner solve, interleaved operators, and non-finite honesty."""
+
+    @staticmethod
+    def _sym_banded(n, bw, seed, boost_head):
+        from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
+        rng = np.random.default_rng(seed)
+        offs = tuple(range(-bw, bw + 1))
+        data = np.zeros((len(offs), n), np.float32)
+        for d, off in enumerate(offs):
+            if off < 0:
+                continue
+            v = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+            if off > 0:
+                v[n - off:] = 0
+            data[d] = v
+            if off > 0:
+                data[offs.index(-off), off:] = v[:n - off]
+        boost = np.zeros(n, np.float32)
+        boost[:len(boost_head)] = boost_head
+        data[bw] += boost
+        return SparseDIA(data=jnp.asarray(data), offsets=offs, shape=(n, n))
+
+    @pytest.mark.parametrize("method", ["bicgstab", "gmres"])
+    def test_symmetric_interior_shifts(self, method, key):
+        A = self._sym_banded(3000, 3, 0, [30, 25, 21, 18])
+        ev = np.linalg.eigvalsh(np.asarray(A.to_dense()))
+        il = A.interleaved()
+        for shift in (24.0, 17.0):
+            target = ev[np.argmin(np.abs(ev - shift))]
+            opts = ShiftedSolverOptions(shift=shift, max_iterations=100,
+                                        tolerance=1e-6, inner_method=method,
+                                        inner_tolerance=1e-10)
+            for M in (A, il):
+                r = shifted_inverse_power_method(M, opts, key=key)
+                assert bool(r.converged)
+                np.testing.assert_allclose(
+                    float(np.real(np.asarray(r.eigenvalue))), target,
+                    rtol=1e-5)
+
+    def test_never_returns_nan(self, key):
+        # nonsymmetric operator, shift in a complex-pair region: real
+        # inverse iteration cannot converge there — it must report
+        # converged=False with a FINITE eigenvalue, never NaN
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        dia = banded_full(3000, bandwidth=3, dtype=np.float32, seed=7,
+                          diag_boost=4.0)
+        for method in ("bicgstab", "gmres"):
+            opts = ShiftedSolverOptions(shift=4.5, max_iterations=30,
+                                        tolerance=1e-8, inner_method=method,
+                                        inner_tolerance=1e-10)
+            r = shifted_inverse_power_method(dia, opts, key=key)
+            assert np.all(np.isfinite(np.asarray(r.eigenvalue)))
+            assert np.all(np.isfinite(np.asarray(r.eigenvector)))
+
+    def test_unknown_inner_method_raises(self):
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        dia = banded_full(100, bandwidth=2, dtype=np.float64, seed=0)
+        with pytest.raises(ValueError, match="unknown inner method"):
+            shifted_inverse_power_method(
+                dia, ShiftedSolverOptions(shift=1.0, inner_method="qr"))
