@@ -35,6 +35,7 @@ from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
 from .solvers.lanczos import lanczos_eigenvalues
+from .solvers.lobpcg import lobpcg_eigenvalues
 from .solvers.subspace import subspace_iteration
 from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
@@ -51,6 +52,7 @@ __all__ = [
     "SplitComplexDIA",
     "arnoldi_eigenvalues",
     "lanczos_eigenvalues",
+    "lobpcg_eigenvalues",
     "power_method_split_complex",
     "EigenResult",
     "QROptions",
