@@ -105,6 +105,21 @@ def run_on_file(args) -> int:
         res = arnoldi_eigenvalues(M, k=args.k)
         for i, v in enumerate(np.asarray(res.eigenvalues)):
             print(f"  ritz[{i}] = {_fmt(v)}")
+    elif args.solver in ("lanczos", "lobpcg", "subspace"):
+        from .solvers.lanczos import lanczos_eigenvalues
+        from .solvers.lobpcg import lobpcg_eigenvalues
+        from .solvers.subspace import subspace_iteration
+        opts = SolverOptions(args.max_iterations, args.tolerance)
+        if args.solver == "lanczos":
+            res = lanczos_eigenvalues(M, k=args.k, which=args.which, opts=opts)
+        elif args.solver == "lobpcg":
+            res = lobpcg_eigenvalues(M, k=args.k, opts=opts,
+                                     which=args.which if args.which != "LM" else "LA")
+        else:
+            res = subspace_iteration(M, k=args.k, opts=opts)
+        for i, v in enumerate(np.asarray(res.eigenvalues)):
+            print(f"  ritz[{i}] = {_fmt(v)}")
+        print(f"  iterations = {int(res.iterations)} converged = {bool(res.converged)}")
     return 0
 
 
@@ -115,12 +130,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float64",
                     choices=["float32", "float64", "complex64", "complex128"])
     ap.add_argument("--solver", default="power",
-                    choices=["power", "inverse", "qr", "arnoldi"])
+                    choices=["power", "inverse", "qr", "arnoldi",
+                             "lanczos", "lobpcg", "subspace"])
     ap.add_argument("--qr-mode", default="parity", choices=["parity", "accelerated"])
     ap.add_argument("--shift", default="0", help="shift (complex ok: '2.3+4j')")
     ap.add_argument("--max-iterations", type=int, default=1000)
     ap.add_argument("--tolerance", type=float, default=1e-10)
-    ap.add_argument("--k", type=int, default=6, help="arnoldi: number of eigenvalues")
+    ap.add_argument("--k", type=int, default=6,
+                    help="arnoldi/lanczos/lobpcg/subspace: number of eigenvalues")
+    ap.add_argument("--which", default="LM", choices=["LM", "LA", "SA"],
+                    help="lanczos/lobpcg: spectrum end to target")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
