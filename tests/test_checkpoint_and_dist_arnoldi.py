@@ -87,3 +87,38 @@ class TestDistributedArnoldi:
         got = np.asarray(res.eigenvalues)
         for e in exact[:2]:
             assert min(abs(got - e)) < 1e-6
+
+
+class TestDistributedCheckpointedPower:
+    """Distributed interleaved checkpointed power: bit-identical to the
+    uninterrupted run, including across a simulated preemption."""
+
+    def test_matches_uninterrupted_and_resumes(self, tmp_path):
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+        from pcsc_eigenvalue_solver_project_tpu.parallel.dia import (
+            distributed_dia_il_power_method, partition_dia_il)
+        from pcsc_eigenvalue_solver_project_tpu.utils.checkpoint import (
+            distributed_dia_il_power_checkpointed)
+
+        mesh = make_row_mesh(8)
+        dia = banded_full(6000, bandwidth=5, dtype=np.float32, seed=6)
+        A = partition_dia_il(dia, mesh)
+        opts = SolverOptions(max_iterations=500, tolerance=1e-7)
+        key = jax.random.key(2)
+
+        ref = distributed_dia_il_power_method(A, mesh, opts, key=key)
+
+        # "preempted" run: budget stops mid-solve, state is on disk
+        partial_opts = SolverOptions(max_iterations=60, tolerance=1e-7)
+        distributed_dia_il_power_checkpointed(
+            A, mesh, partial_opts, checkpoint_dir=str(tmp_path), chunk=25,
+            key=key)
+        # resume with the full budget: must land exactly where the
+        # uninterrupted run does
+        r = distributed_dia_il_power_checkpointed(
+            A, mesh, opts, checkpoint_dir=str(tmp_path), chunk=100, key=key)
+        assert int(r.iterations) == int(ref.iterations)
+        assert bool(r.converged) == bool(ref.converged)
+        np.testing.assert_allclose(float(r.eigenvalue),
+                                   float(ref.eigenvalue), rtol=0, atol=0)
