@@ -60,6 +60,26 @@ class SplitComplexDIA:
         """(2, n) real planes -> (2, n) real planes."""
         return dia_matvec_planes(self.planes, self.offsets, x_planes, force=force)
 
+    def diagonal_planes(self):
+        """Main diagonal as (2, n) planes (zeros if the offset is absent)."""
+        if 0 in self.offsets:
+            return self.planes[:, self.offsets.index(0), :]
+        n = self.shape[0]
+        return jnp.zeros((2, n), self.planes.dtype)
+
+    def to_dense_planes(self):
+        """Traced dense materialisation as (2, n, n) re/im planes (the
+        device-friendly complex-dense: no complex dtype ever exists)."""
+        n = self.shape[0]
+        out = jnp.zeros((2, n, n), self.planes.dtype)
+        i = jnp.arange(n)
+        for d, off in enumerate(self.offsets):
+            valid = (i + off >= 0) & (i + off < n)
+            col = jnp.clip(i + off, 0, n - 1)
+            out = out.at[:, i, col].add(
+                jnp.where(valid[None], self.planes[:, d], 0))
+        return out
+
     # identity codec (protocol symmetry with the interleaved variant)
     def encode_vec(self, x_planes):
         return x_planes
@@ -136,6 +156,14 @@ class InterleavedSplitComplexDIA:
         planes = self.planes_il.transpose(0, 1, 3, 2).reshape(2, k, R * L)[:, :, :n]
         return SplitComplexDIA(planes=planes, offsets=self.offsets,
                                shape=self.shape)
+
+    def diagonal_planes(self):
+        """Main diagonal as NATURAL (2, n) planes (encode for the solver
+        domain with ``encode_vec``)."""
+        if 0 in self.offsets:
+            d = self.offsets.index(0)
+            return self.decode_vec(self.planes_il[:, d])
+        return jnp.zeros((2, self.shape[0]), self.planes_il.dtype)
 
     def to_complex_dense(self) -> np.ndarray:
         return self.to_natural().to_complex_dense()

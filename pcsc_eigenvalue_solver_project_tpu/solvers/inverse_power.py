@@ -149,6 +149,166 @@ def _inverse_power_gmres(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
                               x0, max_iterations, tol)
 
 
+@partial(jax.jit, static_argnames=("inner_maxiter",))
+def _inverse_power_splitc(M, shift_p: jax.Array, x0_p: jax.Array,
+                          max_iterations: jax.Array, tol: jax.Array,
+                          inner_tol: jax.Array, inner_maxiter: int) -> EigenResult:
+    """Split-plane complex shifted inverse power: complex eigenproblems on
+    TPUs with no complex dtypes. Inner solve is the plane BiCGStab
+    (ops/split_krylov.py); outer loop mirrors the reference semantics."""
+    from ..ops.split_complex import (splitc_is_close_relative, splitc_norm,
+                                     splitc_vdot)
+    from ..ops.split_krylov import solve_shifted_splitc
+    rdt = x0_p.dtype
+    diag = M.encode_vec(M.diagonal_planes())
+
+    def solve(x):
+        return solve_shifted_splitc(M.matvec, shift_p, x, diag=diag,
+                                    tol=inner_tol, maxiter=inner_maxiter)
+
+    def cond(c):
+        k, x, lam, initialized, converged, used, done = c
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        k, x, lam, initialized, converged, used, done = c
+        y = solve(x)
+        norm_y = splitc_norm(y)
+        breakdown = jnp.logical_or(norm_y == 0,
+                                   jnp.logical_not(jnp.isfinite(norm_y)))
+        safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y)
+        x_new = y / safe
+        lam_new = splitc_vdot(x_new, M.matvec(x_new))
+        conv_now = jnp.logical_and(initialized,
+                                   splitc_is_close_relative(lam_new, lam, tol))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        return (
+            k + 1,
+            jnp.where(breakdown, x, x_new),
+            jnp.where(breakdown, lam, lam_new),
+            jnp.logical_or(initialized, jnp.logical_not(breakdown)),
+            jnp.logical_or(converged, conv_now),
+            k + 1,
+            jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
+        )
+
+    init = (jnp.zeros((), jnp.int32), x0_p, jnp.zeros((2,), rdt),
+            jnp.asarray(False), jnp.asarray(False), jnp.zeros((), jnp.int32),
+            jnp.asarray(False))
+    k, x, lam, initialized, converged, used, done = jax.lax.while_loop(
+        cond, body, init)
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used,
+                       converged=converged)
+
+
+@jax.jit
+def _inverse_power_splitc_dense(pl: jax.Array, shift_p: jax.Array,
+                                x0_p: jax.Array, max_iterations: jax.Array,
+                                tol: jax.Array) -> EigenResult:
+    """Dense split-plane path: ``(A - shift I)`` as the equivalent REAL
+    2n x 2n block system [[R, -I_m], [I_m, R]] (R/I_m = re/im of the
+    shifted matrix), LU-factorised ONCE — the split-plane analogue of the
+    reference's PartialPivLU path (solve_shifted.hpp:74-79), exact and
+    TPU-compilable with no complex dtype."""
+    from ..ops.split_complex import (splitc_is_close_relative, splitc_norm,
+                                     splitc_vdot)
+    rdt = x0_p.dtype
+    n = pl.shape[1]
+    eye = jnp.eye(n, dtype=rdt)
+    Rr = pl[0] - shift_p[0] * eye
+    Ri = pl[1] - shift_p[1] * eye
+    B = jnp.block([[Rr, -Ri], [Ri, Rr]])
+    lu, piv = jsl.lu_factor(B)
+
+    def solve(x):
+        y = jsl.lu_solve((lu, piv), jnp.concatenate([x[0], x[1]]))
+        return jnp.stack([y[:n], y[n:]])
+
+    def matvec(x):
+        return jnp.stack([pl[0] @ x[0] - pl[1] @ x[1],
+                          pl[0] @ x[1] + pl[1] @ x[0]])
+
+    def cond(c):
+        k, x, lam, initialized, converged, used, done = c
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        k, x, lam, initialized, converged, used, done = c
+        y = solve(x)
+        norm_y = splitc_norm(y)
+        breakdown = jnp.logical_or(norm_y == 0,
+                                   jnp.logical_not(jnp.isfinite(norm_y)))
+        safe = jnp.where(breakdown, jnp.ones((), rdt), norm_y)
+        x_new = y / safe
+        lam_new = splitc_vdot(x_new, matvec(x_new))
+        conv_now = jnp.logical_and(initialized,
+                                   splitc_is_close_relative(lam_new, lam, tol))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        return (
+            k + 1,
+            jnp.where(breakdown, x, x_new),
+            jnp.where(breakdown, lam, lam_new),
+            jnp.logical_or(initialized, jnp.logical_not(breakdown)),
+            jnp.logical_or(converged, conv_now),
+            k + 1,
+            jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)),
+        )
+
+    init = (jnp.zeros((), jnp.int32), x0_p, jnp.zeros((2,), rdt),
+            jnp.asarray(False), jnp.asarray(False), jnp.zeros((), jnp.int32),
+            jnp.asarray(False))
+    k, x, lam, initialized, converged, used, done = jax.lax.while_loop(
+        cond, body, init)
+    return EigenResult(eigenvalue=lam, eigenvector=x, iterations=used,
+                       converged=converged)
+
+
+def shifted_inverse_power_split_complex(M, opts: ShiftedSolverOptions = ShiftedSolverOptions(),
+                                        *, key=None, x0=None) -> EigenResult:
+    """Eigenpair nearest ``opts.shift`` of a split-plane complex banded
+    operator (``SplitComplexDIA`` / ``InterleavedSplitComplexDIA``).
+    ``eigenvalue`` comes back as a (2,) plane scalar and ``eigenvector``
+    as (2, n) planes — convert with ``ops.split_complex.from_planes``."""
+    import numpy as _np
+    n = M.shape[0]
+    if M.shape[0] != M.shape[1]:
+        raise ValueError("shifted_inverse_power_method: matrix must be square")
+    if n == 0:
+        raise ValueError("shifted_inverse_power_method: matrix has zero size")
+    rdt = jnp.dtype(M.dtype)
+    if x0 is None:
+        x0 = jax.random.uniform(key if key is not None else default_key(),
+                                (2, n), rdt, minval=-1.0, maxval=1.0)
+        nrm = jnp.sqrt(jnp.sum(x0 * x0))
+        x0 = x0 / jnp.where(nrm == 0, 1, nrm)
+    else:
+        x0 = jnp.asarray(x0, rdt)
+        if x0.shape != (2, n):
+            raise ValueError(
+                "shifted_inverse_power_split_complex: x0 must be (2, n) planes")
+        nrm = jnp.sqrt(jnp.sum(x0 * x0))
+        x0 = jnp.where(nrm == 0, x0, x0 / jnp.where(nrm == 0, 1, nrm))
+    sh = complex(opts.shift)
+    shift_p = jnp.asarray(_np.array([sh.real, sh.imag]), rdt)
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    max_it = jnp.asarray(opts.max_iterations, jnp.int32)
+    tol = jnp.asarray(opts.tolerance, ftype)
+    method = opts.inner_method
+    if method == "auto":
+        method = "dense_lu" if n <= DENSE_FALLBACK_MAX_N else "bicgstab"
+    if method == "dense_lu":
+        from ..matrix.split_complex import SplitComplexDIA
+        nat = M if isinstance(M, SplitComplexDIA) else M.to_natural()
+        return _inverse_power_splitc_dense(nat.to_dense_planes(), shift_p,
+                                           x0, max_it, tol)
+    inner_maxiter = opts.inner_max_iterations or 4 * n
+    r = _inverse_power_splitc(M, shift_p, M.encode_vec(x0), max_it, tol,
+                              jnp.asarray(opts.inner_tolerance, ftype),
+                              inner_maxiter)
+    import dataclasses as _dc
+    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+
+
 @jax.jit
 def _rqi_dense(a: jax.Array, shift0: jax.Array, x0: jax.Array,
                max_iterations: jax.Array, tol: jax.Array) -> EigenResult:
@@ -228,6 +388,10 @@ def shifted_inverse_power_method(M: AbstractMatrix,
                                  opts: ShiftedSolverOptions = ShiftedSolverOptions(),
                                  *, dtype=None, key=None, x0=None) -> EigenResult:
     """Eigenpair nearest ``opts.shift`` via shifted inverse iteration."""
+    from ..matrix.split_complex import (InterleavedSplitComplexDIA,
+                                        SplitComplexDIA)
+    if isinstance(M, (SplitComplexDIA, InterleavedSplitComplexDIA)):
+        return shifted_inverse_power_split_complex(M, opts, key=key, x0=x0)
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "shifted_inverse_power_method")
     require_square(M, "shifted_inverse_power_method")

@@ -188,3 +188,92 @@ class TestInterleavedSplitComplex:
         nat = il.to_natural()
         np.testing.assert_array_equal(np.asarray(nat.planes),
                                       np.asarray(sc.planes))
+
+
+class TestSplitComplexShiftedInverse:
+    """Complex shifted inverse power with NO complex dtype on device:
+    dense split-block LU path (exact) and plane-BiCGStab honesty."""
+
+    def _operator(self, n=500, seed=0):
+        rng = np.random.default_rng(seed)
+        offs = (-2, 0, 1)
+        planes = np.zeros((2, len(offs), n), np.float32)
+        for d, off in enumerate(offs):
+            planes[0, d] = rng.standard_normal(n)
+            planes[1, d] = rng.standard_normal(n)
+            if off > 0:
+                planes[:, d, n - off:] = 0
+            elif off < 0:
+                planes[:, d, :-off] = 0
+        planes[0, 1] += 4.0
+        return SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                               shape=(n, n))
+
+    def test_dense_lu_path_nearest_eigenvalue(self, key):
+        from pcsc_eigenvalue_solver_project_tpu import (
+            ShiftedSolverOptions, shifted_inverse_power_method)
+        sc = self._operator()
+        ev = np.linalg.eigvals(sc.to_complex_dense())
+        shift = 4.0 + 1.5j
+        target = ev[np.argmin(np.abs(ev - shift))]
+        opts = ShiftedSolverOptions(shift=shift, max_iterations=200,
+                                    tolerance=1e-6)
+        for M in (sc, sc.interleaved()):
+            r = shifted_inverse_power_method(M, opts, key=key)
+            assert bool(r.converged)
+            lam = from_planes(np.asarray(r.eigenvalue))
+            assert abs(lam - target) < 1e-4 * (1 + abs(target))
+
+    def test_reference_demo_case_b(self, key):
+        # main.cpp:87-97 — B.txt, sigma = 2.3 -> eigenvalue 3+2i
+        from pcsc_eigenvalue_solver_project_tpu import (
+            ShiftedSolverOptions, read_matrix_from_file,
+            shifted_inverse_power_method)
+        B = read_matrix_from_file("data/B.txt", dtype=np.complex128)
+        sc = SplitComplexDIA.from_csr(B.as_csr(), precision=np.float64)
+        r = shifted_inverse_power_method(
+            sc, ShiftedSolverOptions(shift=2.3, tolerance=1e-10), key=key)
+        assert bool(r.converged)
+        lam = from_planes(np.asarray(r.eigenvalue))
+        assert abs(lam - (3 + 2j)) < 1e-5
+
+    def test_bicgstab_path_never_nan(self, key):
+        from pcsc_eigenvalue_solver_project_tpu import (
+            ShiftedSolverOptions, shifted_inverse_power_method)
+        sc = self._operator()
+        opts = ShiftedSolverOptions(shift=4.0 + 1.5j, max_iterations=50,
+                                    tolerance=1e-6, inner_method="bicgstab",
+                                    inner_tolerance=1e-10)
+        r = shifted_inverse_power_method(sc, opts, key=key)
+        assert np.all(np.isfinite(np.asarray(r.eigenvalue)))
+        assert np.all(np.isfinite(np.asarray(r.eigenvector)))
+
+    def test_splitc_bicgstab_solves_dominant_system(self):
+        # diagonally dominant shifted system: the plane BiCGStab must
+        # actually solve it (not just stay finite)
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+            solve_shifted_splitc)
+        rng = np.random.default_rng(3)
+        n = 400
+        offs = (-1, 0, 1)
+        planes = np.zeros((2, 3, n))
+        for d, off in enumerate(offs):
+            planes[0, d] = 0.3 * rng.standard_normal(n)
+            planes[1, d] = 0.3 * rng.standard_normal(n)
+            if off > 0:
+                planes[:, d, n - off:] = 0
+            elif off < 0:
+                planes[:, d, :-off] = 0
+        planes[0, 1] += 5.0
+        sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                             shape=(n, n))
+        b = rng.standard_normal((2, n))
+        shift_p = jnp.asarray([0.5, 0.25], jnp.float64)
+        y = solve_shifted_splitc(sc.matvec, shift_p, jnp.asarray(b),
+                                 diag=sc.diagonal_planes(), tol=1e-12,
+                                 maxiter=400)
+        A = sc.to_complex_dense() - (0.5 + 0.25j) * np.eye(n)
+        yc = from_planes(np.asarray(y))
+        bc = b[0] + 1j * b[1]
+        res = np.linalg.norm(A @ yc - bc) / np.linalg.norm(bc)
+        assert res < 1e-9, res
