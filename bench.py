@@ -112,6 +112,86 @@ def bench_spmv(n: int, verbose: bool):
     return results
 
 
+def bench_block(n: int, nvec: int, verbose: bool):
+    """Block SpMM throughput (subspace/LOBPCG workhorse): nvec iterates
+    share one read of the diagonals — Gnnz*vec/s, interleaved kernel."""
+    from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+        dia_matmat_il, il_rows, interleave_dia_vals, interleave_vec)
+
+    dia = banded_full(n, bandwidth=BANDWIDTH, dtype=np.float32, seed=0)
+    offsets, nnz = dia.offsets, dia.nnz
+    R = il_rows(n)
+    vil = interleave_dia_vals(dia.data, R)
+    xs0 = jnp.stack([interleave_vec(jnp.ones((n,), jnp.float32), R)] * nvec)
+
+    def run_body(v, iters):
+        def body(_, xx):
+            yy = dia_matmat_il(v, offsets, xx, force="pallas")
+            nn2 = jnp.sum(yy * yy)
+            return (yy * jax.lax.rsqrt(
+                jnp.where(nn2 == 0, 1.0, nn2))).astype(xx.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, xs0))
+
+    run = jax.jit(run_body)
+    results = {}
+    results["il_block_f32"] = nnz * nvec / _marginal_time(
+        run, (vil,), lo=50, hi=550)
+    results["il_block_bf16"] = nnz * nvec / _marginal_time(
+        run, (vil.astype(jnp.bfloat16),), lo=50, hi=550)
+    if verbose:
+        for kk, v in sorted(results.items(), key=lambda kv: -kv[1]):
+            print(f"# {kk:14s} {v / 1e9:8.2f} Gnnz*vec/s", file=sys.stderr)
+    return results
+
+
+def bench_complex(n: int, verbose: bool):
+    """Split-plane complex SpMV (the reference demo's dtype) on the
+    interleaved kernel — complex Gnnz/s."""
+    from pcsc_eigenvalue_solver_project_tpu.matrix.split_complex import (
+        SplitComplexDIA)
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+        dia_matvec_il_planes)
+
+    rng = np.random.default_rng(0)
+    offsets = tuple(range(-BANDWIDTH, BANDWIDTH + 1))
+    k = len(offsets)
+    planes = np.zeros((2, k, n), np.float32)
+    for d, off in enumerate(offsets):
+        planes[0, d] = rng.standard_normal(n)
+        planes[1, d] = rng.standard_normal(n)
+        if off > 0:
+            planes[:, d, n - off:] = 0
+        elif off < 0:
+            planes[:, d, :-off] = 0
+    sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offsets,
+                         shape=(n, n))
+    il = sc.interleaved()
+    nnz = sc.nnz
+    zp0 = il.encode_vec(jnp.stack([jnp.ones(n, jnp.float32),
+                                   jnp.zeros(n, jnp.float32)]))
+
+    def run_body(v, iters):
+        def body(_, xx):
+            yy = dia_matvec_il_planes(v, offsets, xx, force="pallas",
+                                      tile_s=il.tile_s)
+            nn2 = jnp.sum(yy * yy)
+            return (yy * jax.lax.rsqrt(
+                jnp.where(nn2 == 0, 1.0, nn2))).astype(xx.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, zp0))
+
+    run = jax.jit(run_body)
+    results = {
+        "il_planes_f32": nnz / _marginal_time(run, (il.planes_il,)),
+        "il_planes_bf16": nnz / _marginal_time(
+            run, (il.planes_il.astype(jnp.bfloat16),)),
+    }
+    if verbose:
+        for kk, v in sorted(results.items(), key=lambda kv: -kv[1]):
+            print(f"# {kk:14s} {v / 1e9:8.2f} complex Gnnz/s", file=sys.stderr)
+    return results
+
+
 def bench_qr(n: int, verbose: bool):
     """Wall-clock to tolerance for the full-spectrum QR solve
     (BASELINE configs[2]: 512x512 dense real, all eigenvalues).
@@ -175,7 +255,9 @@ def _watchdog(seconds: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
-    ap.add_argument("--suite", default="spmv", choices=["spmv", "qr"])
+    ap.add_argument("--suite", default="spmv",
+                    choices=["spmv", "qr", "block", "complex"])
+    ap.add_argument("--nvec", type=int, default=8)
     ap.add_argument("--qr-n", type=int, default=512)
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--watchdog", type=int, default=480)
@@ -183,6 +265,26 @@ def main():
     if args.watchdog:
         _watchdog(args.watchdog)
 
+    if args.suite == "block":
+        results = bench_block(args.n, args.nvec, verbose=not args.json_only)
+        name, best = max(results.items(), key=lambda kv: kv[1])
+        _emit_and_cache({
+            "metric": f"block_spmm_nnzvec_per_s_{args.n // 1000}k_b{args.nvec}_{name}",
+            "value": round(best, 1),
+            "unit": "nnz*vec/s",
+            "vs_baseline": round(best / results["il_block_f32"], 3),
+        })
+        return
+    if args.suite == "complex":
+        results = bench_complex(args.n, verbose=not args.json_only)
+        name, best = max(results.items(), key=lambda kv: kv[1])
+        _emit_and_cache({
+            "metric": f"complex_spmv_nnz_per_s_{args.n // 1000}k_{name}",
+            "value": round(best, 1),
+            "unit": "nnz/s",
+            "vs_baseline": round(best / results["il_planes_f32"], 3),
+        })
+        return
     if args.suite == "qr":
         wall, conv = bench_qr(args.qr_n, verbose=not args.json_only)
         _emit_and_cache({
