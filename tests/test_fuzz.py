@@ -91,3 +91,70 @@ def test_qr_modes_agree(seed):
                          QROptions(mode="accelerated", tolerance=1e-12,
                                    max_iterations=5000))
     assert spectrum_distance(np.asarray(acc.eigenvalues), exact) < 1e-7
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_interleaved_matvec_agrees_with_xla(seed):
+    """Random band structure / size / tile: il kernel (interpret) == the
+    shifted-pad XLA oracle."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+        deinterleave_vec, dia_matvec, dia_matvec_il, il_rows,
+        interleave_dia_vals, interleave_vec)
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.integers(1500, 40000))
+    n_off = int(rng.integers(1, 9))
+    offsets = tuple(sorted(rng.choice(np.arange(-150, 151), size=n_off,
+                                      replace=False).tolist()))
+    tile_s = int(rng.choice([8, 16, 64]))
+    k = len(offsets)
+    vals = np.zeros((k, n), np.float32)
+    for d, off in enumerate(offsets):
+        vals[d] = rng.standard_normal(n)
+        if off > 0:
+            vals[d, n - off:] = 0
+        elif off < 0:
+            vals[d, :-off] = 0
+    x = rng.standard_normal(n).astype(np.float32)
+    y_ref = np.asarray(dia_matvec(jnp.asarray(vals), offsets, jnp.asarray(x),
+                                  force="xla"))
+    R = il_rows(n, tile_s)
+    y = np.asarray(deinterleave_vec(
+        dia_matvec_il(interleave_dia_vals(jnp.asarray(vals), R), offsets,
+                      interleave_vec(jnp.asarray(x), R), tile_s=tile_s,
+                      force="interpret"), n))
+    scale = max(np.max(np.abs(y_ref)), 1e-6)
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_splitc_bicgstab_residual_on_dominant_systems(seed):
+    """Random diagonally-dominant complex banded system: the plane
+    BiCGStab must reach the requested residual."""
+    from pcsc_eigenvalue_solver_project_tpu.matrix.split_complex import (
+        SplitComplexDIA)
+    from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import from_planes
+    from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+        solve_shifted_splitc)
+    rng = np.random.default_rng(600 + seed)
+    n = int(rng.integers(100, 800))
+    offsets = (-2, -1, 0, 1, 2)
+    planes = np.zeros((2, 5, n))
+    for d, off in enumerate(offsets):
+        planes[0, d] = 0.2 * rng.standard_normal(n)
+        planes[1, d] = 0.2 * rng.standard_normal(n)
+        if off > 0:
+            planes[:, d, n - off:] = 0
+        elif off < 0:
+            planes[:, d, :-off] = 0
+    planes[0, 2] += 4.0
+    sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offsets,
+                         shape=(n, n))
+    b = rng.standard_normal((2, n))
+    sh = complex(rng.uniform(-1, 1), rng.uniform(-1, 1))
+    y = solve_shifted_splitc(sc.matvec, jnp.asarray([sh.real, sh.imag]),
+                             jnp.asarray(b), diag=sc.diagonal_planes(),
+                             tol=1e-11, maxiter=600)
+    A = sc.to_complex_dense() - sh * np.eye(n)
+    bc = b[0] + 1j * b[1]
+    res = np.linalg.norm(A @ from_planes(np.asarray(y)) - bc) / np.linalg.norm(bc)
+    assert res < 1e-8, res
