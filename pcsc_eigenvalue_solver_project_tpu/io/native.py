@@ -53,6 +53,26 @@ def _load():
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double), ctypes.c_char_p, ctypes.c_int]
+            # writer symbols (absent in a stale cached .so -> rebuild next
+            # clean checkout; bindings stay optional)
+            try:
+                lib.eigsol_write_dense.restype = ctypes.c_int
+                lib.eigsol_write_dense.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
+                    ctypes.c_int]
+                lib.eigsol_write_sparse.restype = ctypes.c_int
+                lib.eigsol_write_sparse.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                    ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
+                    ctypes.c_int]
+                lib._has_writer = True
+            except AttributeError:
+                lib._has_writer = False
             _lib = lib
         except Exception:
             _lib = None
@@ -117,3 +137,47 @@ def read_matrix_from_file(filename, dtype):
     return SparseCSR.from_coo(rr, cc, vals.astype(dtype),
                               (rows.value, cols.value), dtype=dtype,
                               sum_duplicates=False)
+
+
+def writer_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_writer", False)
+
+
+_NULL_DP = ctypes.POINTER(ctypes.c_double)()
+
+
+def write_dense(filename, array: np.ndarray) -> None:
+    """Native dense write (reference grammar); raises OSError on failure."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_writer", False):
+        raise ImportError("native writer unavailable")
+    a = np.ascontiguousarray(array)
+    cx = is_complex_dtype(a.dtype)
+    re = np.ascontiguousarray(a.real if cx else a, np.float64)
+    im = np.ascontiguousarray(a.imag, np.float64) if cx else None
+    err = ctypes.create_string_buffer(_ERRLEN)
+    rc = lib.eigsol_write_dense(
+        os.fspath(filename).encode(), a.shape[0], a.shape[1], _dp(re),
+        _dp(im) if cx else _NULL_DP, err, _ERRLEN)
+    if rc:
+        raise OSError(err.value.decode())
+
+
+def write_sparse(filename, shape, rows: np.ndarray, cols: np.ndarray,
+                 data: np.ndarray) -> None:
+    """Native sparse (COO triplet) write; raises OSError on failure."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_writer", False):
+        raise ImportError("native writer unavailable")
+    cx = is_complex_dtype(data.dtype)
+    rr = np.ascontiguousarray(rows, np.int64)
+    cc = np.ascontiguousarray(cols, np.int64)
+    re = np.ascontiguousarray(data.real if cx else data, np.float64)
+    im = np.ascontiguousarray(data.imag, np.float64) if cx else None
+    err = ctypes.create_string_buffer(_ERRLEN)
+    rc = lib.eigsol_write_sparse(
+        os.fspath(filename).encode(), shape[0], shape[1], len(re), _lp(rr),
+        _lp(cc), _dp(re), _dp(im) if cx else _NULL_DP, err, _ERRLEN)
+    if rc:
+        raise OSError(err.value.decode())

@@ -33,6 +33,13 @@ def write_matrix_to_file(filename, matrix) -> None:
 def _write_dense(filename, m: DenseMatrix) -> None:
     a = np.asarray(m.array)
     cx = is_complex_dtype(a.dtype)
+    try:
+        from . import native
+        if native.writer_available():
+            native.write_dense(filename, a)
+            return
+    except ImportError:
+        pass
     with open(filename, "w", encoding="utf-8") as f:
         f.write("dense\n")
         f.write(f"{a.shape[0]} {a.shape[1]}\n")
@@ -45,6 +52,13 @@ def _write_sparse(filename, m: SparseCSR) -> None:
     cols = np.asarray(m.indices)
     data = np.asarray(m.data)
     cx = is_complex_dtype(data.dtype)
+    try:
+        from . import native
+        if native.writer_available():
+            native.write_sparse(filename, m.shape, rows, cols, data)
+            return
+    except ImportError:
+        pass
     with open(filename, "w", encoding="utf-8") as f:
         f.write("sparse\n")
         f.write(f"{m.shape[0]} {m.shape[1]}\n")

@@ -6,7 +6,10 @@ import os
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from pcsc_eigenvalue_solver_project_tpu.io import native, reader
+from pcsc_eigenvalue_solver_project_tpu.matrix.dense import DenseMatrix
 from pcsc_eigenvalue_solver_project_tpu.io.distributed import read_sparse_row_block
 from pcsc_eigenvalue_solver_project_tpu.io.writer import write_matrix_to_file
 from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_random
@@ -96,3 +99,55 @@ class TestRowBlockLoader:
             f.write("dense\n1 1\n3.0\n")
         with pytest.raises(ValueError, match="expected a sparse file"):
             read_sparse_row_block(p, np.float64, 0, 1)
+
+
+class TestNativeWriter:
+    """Native writer: exact roundtrips through both readers, fallback
+    parity with the Python writer."""
+
+    def test_sparse_roundtrip_exact(self, tmp_path):
+        from pcsc_eigenvalue_solver_project_tpu.io import native
+        if not native.writer_available():
+            pytest.skip("native writer unavailable")
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import (
+            banded_random)
+        m = banded_random(5000, bandwidth=4, nnz_per_row=5,
+                          dtype=np.float64, seed=3)
+        p = tmp_path / "m.txt"
+        write_matrix_to_file(p, m)
+        r = reader.read_matrix_from_file(p, np.float64)
+        x = np.random.default_rng(0).standard_normal(5000)
+        np.testing.assert_array_equal(np.asarray(m.matvec(jnp.asarray(x))),
+                                      np.asarray(r.matvec(jnp.asarray(x))))
+
+    def test_dense_complex_roundtrip_exact(self, tmp_path):
+        from pcsc_eigenvalue_solver_project_tpu.io import native
+        if not native.writer_available():
+            pytest.skip("native writer unavailable")
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((17, 23)) + 1j * rng.standard_normal((17, 23))
+        p = tmp_path / "d.txt"
+        write_matrix_to_file(p, DenseMatrix.from_array(a))
+        r = reader.read_matrix_from_file(p, np.complex128)
+        np.testing.assert_array_equal(np.asarray(r.as_dense()), a)
+
+    def test_native_output_matches_python_writer(self, tmp_path):
+        from pcsc_eigenvalue_solver_project_tpu.io import native
+        from pcsc_eigenvalue_solver_project_tpu.io import writer as w
+        if not native.writer_available():
+            pytest.skip("native writer unavailable")
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((6, 4))
+        m = DenseMatrix.from_array(a)
+        p_native = tmp_path / "n.txt"
+        w._write_dense(p_native, m)  # native path (writer available)
+        # force the python fallback by writing through the raw formatter
+        p_py = tmp_path / "p.txt"
+        cx = False
+        with open(p_py, "w", encoding="utf-8") as f:
+            f.write("dense\n")
+            f.write(f"{a.shape[0]} {a.shape[1]}\n")
+            for r_ in range(a.shape[0]):
+                f.write(" ".join(w._fmt(a[r_, c], cx)
+                                 for c in range(a.shape[1])) + "\n")
+        assert p_native.read_text() == p_py.read_text()
