@@ -712,11 +712,21 @@ def _dia_il_block_kernel(w_ref, vals_ref, out_ref, *, plan, pr, tile_s, nvec):
 @functools.partial(jax.jit, static_argnames=("offsets", "tile_s", "interpret"))
 def _dia_matmat_il_pallas(vals_il: jax.Array, xs_il: jax.Array, offsets: tuple,
                           tile_s: int, interpret: bool) -> jax.Array:
-    k, R, _ = vals_il.shape
-    nvec = xs_il.shape[0]
     pr = _il_halo(offsets)
     wdt = jnp.promote_types(xs_il.dtype, jnp.float32)
     w = jax.vmap(lambda v: _il_window(v, pr))(xs_il.astype(wdt))
+    return _dia_matmat_il_window_pallas(vals_il, w, offsets, tile_s, interpret)
+
+
+def _dia_matmat_il_window_pallas(vals_il: jax.Array, w: jax.Array,
+                                 offsets: tuple, tile_s: int,
+                                 interpret: bool) -> jax.Array:
+    """Block core from PRE-BUILT per-vector windows (nvec, R + 2*pr, 128)
+    — the distributed block path fills seam-lane halos via ppermute."""
+    k, R, _ = vals_il.shape
+    nvec = w.shape[0]
+    pr = _il_halo(offsets)
+    wdt = w.dtype
     out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
     stream = w.size * w.dtype.itemsize > _WINDOW_VMEM_BUDGET and not interpret
     if stream:
@@ -750,6 +760,34 @@ def _dia_matmat_il_pallas(vals_il: jax.Array, xs_il: jax.Array, offsets: tuple,
             * vals_il.dtype.itemsize),
         interpret=interpret,
     )(w, vals_il)
+
+
+def dia_matmat_il_window(vals_il: jax.Array, offsets: tuple, w: jax.Array, *,
+                         tile_s: int = DEFAULT_IL_TILE,
+                         force: str | None = None) -> jax.Array:
+    """Interleaved block SpMM from caller-built haloed windows
+    (nvec, R + 2*pr, 128) -> (nvec, R, 128); window halos may carry
+    neighbor-shard values (cf. ``dia_matvec_il_window``)."""
+    k, R, _ = vals_il.shape
+    pr = _il_halo(offsets)
+    if w.shape[1] != R + 2 * pr:
+        raise ValueError(
+            f"dia_matmat_il_window: window has {w.shape[1]} sublanes, "
+            f"expected R + 2*pr = {R + 2 * pr}")
+    interpret = force == "interpret"
+    use_pallas = (force in ("pallas", "interpret")
+                  or (force is None and _backend_supports_pallas()
+                      and vals_il.dtype in (jnp.float32, jnp.bfloat16)))
+    if use_pallas:
+        return _dia_matmat_il_window_pallas(
+            vals_il, w.astype(jnp.promote_types(w.dtype, jnp.float32)),
+            tuple(offsets), tile_s, interpret)
+    out_dt = jnp.promote_types(vals_il.dtype, jnp.float32)
+    ys = jnp.zeros((w.shape[0], R, w.shape[2]), out_dt)
+    for d, off in enumerate(offsets):
+        seg = jax.lax.slice_in_dim(w, pr + off, pr + off + R, axis=1)
+        ys = ys + vals_il[d][None].astype(out_dt) * seg.astype(out_dt)
+    return ys
 
 
 def dia_matmat_il(vals_il: jax.Array, offsets: tuple, xs_il: jax.Array, *,

@@ -99,3 +99,38 @@ class TestSubspaceIteration:
         np.testing.assert_allclose(
             np.sort(np.asarray(r2.eigenvalues).real),
             np.sort(np.asarray(r1.eigenvalues).real), rtol=1e-4)
+
+
+class TestDistributedSubspace:
+    def test_matches_single_chip_and_oracle(self, key):
+        import os
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+        from pcsc_eigenvalue_solver_project_tpu.parallel.dia import partition_dia_il
+        from pcsc_eigenvalue_solver_project_tpu.parallel.subspace import (
+            distributed_subspace_iteration)
+        mesh = make_row_mesh(8)
+        dia = banded_full(3000, bandwidth=4, dtype=np.float32, seed=9,
+                          diag_boost=1.0)
+        A = partition_dia_il(dia, mesh)
+        opts = es.SolverOptions(max_iterations=3000, tolerance=1e-7)
+        r = distributed_subspace_iteration(A, mesh, k=4, opts=opts, key=key)
+        assert bool(r.converged)
+        exact = np.linalg.eigvals(np.asarray(dia.to_dense()))
+        top = np.sort_complex(exact[np.argsort(-np.abs(exact))][:4])
+        np.testing.assert_allclose(
+            np.sort_complex(np.asarray(r.eigenvalues)), top, rtol=1e-3)
+
+    def test_errors(self, key):
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+        from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+        from pcsc_eigenvalue_solver_project_tpu.parallel.dia import partition_dia_il
+        from pcsc_eigenvalue_solver_project_tpu.parallel.subspace import (
+            distributed_subspace_iteration)
+        mesh = make_row_mesh(8)
+        A = partition_dia_il(banded_full(600, bandwidth=2, dtype=np.float32,
+                                         seed=0), mesh)
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            distributed_subspace_iteration(A, mesh, k=0, key=key)
+        with pytest.raises(ValueError, match="block .2. must be >= k"):
+            distributed_subspace_iteration(A, mesh, k=3, block=2, key=key)
