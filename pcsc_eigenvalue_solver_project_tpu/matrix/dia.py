@@ -134,6 +134,30 @@ class SparseDIA(AbstractMatrix):
     def as_csr(self):
         raise TypeError("SparseDIA: stored matrix is not sparse CSR (convert explicitly)")
 
+    def adjoint(self) -> "SparseDIA":
+        """A^H as a SparseDIA (one-time transform): the diagonal at offset
+        ``o`` becomes offset ``-o`` with conjugated values shifted by ``o``
+        — build once for repeated ``rmatvec``-heavy algorithms instead of
+        paying the shifted-pad path per call."""
+        n = self.shape[0]
+        new_offsets = tuple(sorted(-o for o in self.offsets))
+        rows = []
+        for no in new_offsets:
+            src = self.data[self.offsets.index(-no)]
+            c = jnp.conj(src)
+            # adj[no][i] = conj(data[-no][i + no]), zero out of range
+            if no >= 0:
+                rows.append(jnp.pad(c[no:], (0, no)) if no else c)
+            else:
+                rows.append(jnp.pad(c[:no], (-no, 0)))
+        return SparseDIA(data=jnp.stack(rows), offsets=new_offsets,
+                         shape=self.shape)
+
+    def spectral_bound(self):
+        """Gershgorin bound on the spectral radius: max_i sum_j |A[i, j]|
+        (the induced inf-norm) — deterministic, one pass over diagonals."""
+        return jnp.max(jnp.sum(jnp.abs(self.data), axis=0))
+
     def interleaved(self, tile_s: int | None = None,
                     dtype=None) -> "InterleavedDIA":
         """Convert to the lane-major interleaved layout — the fastest SpMV
@@ -209,9 +233,17 @@ class InterleavedDIA(AbstractMatrix):
 
     def rmatvec(self, x_il):
         # correctness path: transpose via the natural layout (A^H shifts
-        # diagonals the other way); fast adjoint iteration should pre-build
-        # the adjoint operator instead.
+        # diagonals the other way); adjoint-heavy algorithms should
+        # pre-build ``self.adjoint()`` and call its ``matvec`` instead.
         return self.encode_vec(self.to_natural().rmatvec(self.decode_vec(x_il)))
+
+    def adjoint(self) -> "InterleavedDIA":
+        """A^H in the interleaved layout (one-time transform)."""
+        return self.to_natural().adjoint().interleaved(self.tile_s)
+
+    def spectral_bound(self):
+        """Gershgorin bound on the spectral radius (inf-norm)."""
+        return jnp.max(jnp.sum(jnp.abs(self.data_il), axis=0))
 
     def to_natural(self) -> SparseDIA:
         k = self.data_il.shape[0]

@@ -119,8 +119,12 @@ def lobpcg_eigenvalues(M: AbstractMatrix, k: int = 4, *,
 
     apply = _block_apply(M)
     if which == "SA":
-        sigma = _spectral_radius_overestimate(
-            lambda v: apply(v[:, None])[:, 0], X0[:, 0], 30).astype(vec_dt)
+        if hasattr(M, "spectral_bound"):
+            # deterministic Gershgorin bound (banded formats): one pass
+            sigma = (1.0 + 1e-6) * M.spectral_bound().astype(vec_dt)
+        else:
+            sigma = _spectral_radius_overestimate(
+                lambda v: apply(v[:, None])[:, 0], X0[:, 0], 30).astype(vec_dt)
         op = lambda X: sigma * X - apply(X)
     else:
         op = apply

@@ -204,3 +204,51 @@ class TestInterleavedDIA:
         y32 = dia.matvec(x)
         rel = float(jnp.max(jnp.abs(y16 - y32)) / jnp.max(jnp.abs(y32)))
         assert rel < 2e-2  # bf16 storage precision, not a logic error
+
+
+class TestAdjointAndBounds:
+    def test_adjoint_matches_dense_transpose(self):
+        rng = np.random.default_rng(5)
+        dia = banded_full(300, bandwidth=4, dtype=np.float64, seed=5)
+        adj = dia.adjoint()
+        d = np.asarray(dia.to_dense())
+        np.testing.assert_allclose(np.asarray(adj.to_dense()), d.conj().T,
+                                   rtol=1e-14)
+        x = jnp.asarray(rng.standard_normal(300))
+        np.testing.assert_allclose(np.asarray(adj.matvec(x)),
+                                   np.asarray(dia.rmatvec(x)), rtol=1e-12)
+
+    def test_adjoint_complex(self):
+        from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
+        rng = np.random.default_rng(6)
+        n, offs = 50, (-3, 0, 2)
+        data = np.zeros((3, n), np.complex128)
+        for d, off in enumerate(offs):
+            data[d] = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            if off > 0:
+                data[d, n - off:] = 0
+            elif off < 0:
+                data[d, :-off] = 0
+        dia = SparseDIA(data=jnp.asarray(data), offsets=offs, shape=(n, n))
+        np.testing.assert_allclose(np.asarray(dia.adjoint().to_dense()),
+                                   np.asarray(dia.to_dense()).conj().T,
+                                   rtol=1e-14)
+
+    def test_interleaved_adjoint(self):
+        dia = banded_full(2000, bandwidth=3, dtype=np.float32, seed=7)
+        il = dia.interleaved()
+        adj = il.adjoint()
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(2000),
+                        jnp.float32)
+        y1 = np.asarray(il.decode_vec(adj.matvec(adj.encode_vec(x))))
+        y2 = np.asarray(dia.rmatvec(x))
+        np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+
+    def test_spectral_bound_dominates(self):
+        dia = banded_full(500, bandwidth=4, dtype=np.float64, seed=8)
+        ev = np.linalg.eigvals(np.asarray(dia.to_dense()))
+        bound = float(dia.spectral_bound())
+        assert bound >= np.max(np.abs(ev)) - 1e-12
+        il = dia.interleaved()
+        np.testing.assert_allclose(float(il.spectral_bound()), bound,
+                                   rtol=1e-6)
