@@ -36,7 +36,7 @@ from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
 from .solvers.lanczos import lanczos_eigenvalues
 from .solvers.lobpcg import lobpcg_eigenvalues
-from .solvers.subspace import subspace_iteration
+from .solvers.subspace import chebyshev_subspace_iteration, subspace_iteration
 from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
 from .solvers.power import power_method_split_complex
@@ -53,6 +53,8 @@ __all__ = [
     "arnoldi_eigenvalues",
     "lanczos_eigenvalues",
     "lobpcg_eigenvalues",
+    "chebyshev_subspace_iteration",
+    "subspace_iteration",
     "power_method_split_complex",
     "EigenResult",
     "QROptions",

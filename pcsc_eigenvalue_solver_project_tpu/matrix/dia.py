@@ -158,6 +158,15 @@ class SparseDIA(AbstractMatrix):
         (the induced inf-norm) — deterministic, one pass over diagonals."""
         return jnp.max(jnp.sum(jnp.abs(self.data), axis=0))
 
+    def gershgorin_interval(self):
+        """(lo, hi) enclosing the spectrum of a SYMMETRIC operator:
+        ``lo = min_i (a_ii - r_i)``, ``hi = max_i (a_ii + r_i)`` with
+        ``r_i`` the off-diagonal absolute row sum. Used to seed Chebyshev
+        filter intervals."""
+        diag = jnp.real(self.diagonal())
+        r = jnp.sum(jnp.abs(self.data), axis=0) - jnp.abs(self.diagonal())
+        return jnp.min(diag - r), jnp.max(diag + r)
+
     def interleaved(self, tile_s: int | None = None,
                     dtype=None) -> "InterleavedDIA":
         """Convert to the lane-major interleaved layout — the fastest SpMV
@@ -244,6 +253,13 @@ class InterleavedDIA(AbstractMatrix):
     def spectral_bound(self):
         """Gershgorin bound on the spectral radius (inf-norm)."""
         return jnp.max(jnp.sum(jnp.abs(self.data_il), axis=0))
+
+    def gershgorin_interval(self):
+        """(lo, hi) spectrum enclosure for symmetric operators (cf.
+        SparseDIA.gershgorin_interval); padding rows are all-zero and
+        contribute the point 0, which is inside any symmetric operator's
+        Gershgorin union anyway only if 0 is enclosed — mask them out."""
+        return self.to_natural().gershgorin_interval()
 
     def to_natural(self) -> SparseDIA:
         k = self.data_il.shape[0]

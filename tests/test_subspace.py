@@ -134,3 +134,62 @@ class TestDistributedSubspace:
             distributed_subspace_iteration(A, mesh, k=0, key=key)
         with pytest.raises(ValueError, match="block .2. must be >= k"):
             distributed_subspace_iteration(A, mesh, k=3, block=2, key=key)
+
+
+class TestChebyshevSubspace:
+    def test_separated_top_exact(self, key):
+        from pcsc_eigenvalue_solver_project_tpu.solvers.subspace import (
+            chebyshev_subspace_iteration)
+        from tests.test_lanczos import sym_banded
+        boost = np.zeros(2000)
+        boost[:4] = [8, 7, 6.5, 6]
+        A = sym_banded(2000, 3, 0, boost)
+        exact = np.sort(np.linalg.eigvalsh(np.asarray(A.to_dense())))[::-1][:4]
+        r = chebyshev_subspace_iteration(
+            A, k=4, degree=10, key=key,
+            opts=es.SolverOptions(max_iterations=1000, tolerance=1e-9))
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.asarray(r.eigenvalues), exact,
+                                   rtol=1e-7)
+
+    def test_clustered_top_beats_plain_iteration(self, key):
+        # laplacian top cluster (1e-5 gaps): the filter resolves it where
+        # plain block iteration stalls
+        from pcsc_eigenvalue_solver_project_tpu.models.generators import (
+            laplacian_1d)
+        from pcsc_eigenvalue_solver_project_tpu.solvers.subspace import (
+            chebyshev_subspace_iteration)
+        L = SparseDIA.from_csr(laplacian_1d(1000))
+        exact = np.sort(2 - 2 * np.cos(np.arange(1, 1001) * np.pi / 1001))[::-1][:3]
+        r = chebyshev_subspace_iteration(
+            L, k=3, degree=20, key=key,
+            opts=es.SolverOptions(max_iterations=400, tolerance=1e-10))
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.asarray(r.eigenvalues), exact,
+                                   atol=1e-7)
+
+    def test_interleaved_rows_mode(self, key):
+        from pcsc_eigenvalue_solver_project_tpu.solvers.subspace import (
+            chebyshev_subspace_iteration)
+        from tests.test_lanczos import sym_banded
+        boost = np.zeros(2000, np.float32)
+        boost[:4] = [8, 7, 6.5, 6]
+        A = sym_banded(2000, 3, 0, boost, dtype=np.float32)
+        exact = np.sort(np.linalg.eigvalsh(
+            np.asarray(A.to_dense()).astype(np.float64)))[::-1][:4]
+        il = A.interleaved()
+        r = chebyshev_subspace_iteration(
+            il, k=4, degree=10, key=key,
+            opts=es.SolverOptions(max_iterations=1000, tolerance=1e-5))
+        np.testing.assert_allclose(np.asarray(r.eigenvalues), exact,
+                                   rtol=1e-3)
+
+    def test_errors(self, key):
+        from pcsc_eigenvalue_solver_project_tpu.solvers.subspace import (
+            chebyshev_subspace_iteration)
+        M = es.DenseMatrix.from_array(np.ones((2, 3)))
+        with pytest.raises(ValueError, match="square"):
+            chebyshev_subspace_iteration(M)
+        M2 = es.DenseMatrix.from_array(np.eye(8))
+        with pytest.raises(ValueError, match="degree"):
+            chebyshev_subspace_iteration(M2, k=2, degree=0)
