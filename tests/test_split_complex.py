@@ -277,3 +277,48 @@ class TestSplitComplexShiftedInverse:
         bc = b[0] + 1j * b[1]
         res = np.linalg.norm(A @ yc - bc) / np.linalg.norm(bc)
         assert res < 1e-9, res
+
+
+class TestDistributedSplitComplex:
+    """Row-partitioned complex planes: matvec + power parity with the
+    single-chip split loop (identical iteration counts)."""
+
+    def test_power_matches_single_chip(self):
+        import os
+        from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+        from pcsc_eigenvalue_solver_project_tpu.parallel.split_complex import (
+            distributed_splitc_power_method, partition_splitc_dia)
+        from pcsc_eigenvalue_solver_project_tpu import SolverOptions, power_method
+        rng = np.random.default_rng(0)
+        n = 2000
+        offs = (-2, 0, 1)
+        planes = np.zeros((2, len(offs), n), np.float64)
+        for d, off in enumerate(offs):
+            planes[0, d] = rng.standard_normal(n)
+            planes[1, d] = rng.standard_normal(n)
+            if off > 0:
+                planes[:, d, n - off:] = 0
+            elif off < 0:
+                planes[:, d, :-off] = 0
+        sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                             shape=(n, n))
+        mesh = make_row_mesh(8)
+        A = partition_splitc_dia(sc, mesh)
+        opts = SolverOptions(max_iterations=5000, tolerance=1e-8)
+        x0 = rng.uniform(-1, 1, (2, n))
+        r_d = distributed_splitc_power_method(A, mesh, opts, x0=x0)
+        r_s = power_method(sc, opts, x0=x0)
+        assert int(r_d.iterations) == int(r_s.iterations)
+        assert bool(r_d.converged) == bool(r_s.converged)
+        np.testing.assert_allclose(np.asarray(r_d.eigenvalue),
+                                   np.asarray(r_s.eigenvalue), rtol=1e-10)
+
+    def test_bandwidth_guard(self):
+        from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+        from pcsc_eigenvalue_solver_project_tpu.parallel.split_complex import (
+            partition_splitc_dia)
+        planes = np.zeros((2, 41, 64))
+        sc = SplitComplexDIA(planes=jnp.asarray(planes),
+                             offsets=tuple(range(-20, 21)), shape=(64, 64))
+        with pytest.raises(ValueError, match="bandwidth"):
+            partition_splitc_dia(sc, make_row_mesh(8))
