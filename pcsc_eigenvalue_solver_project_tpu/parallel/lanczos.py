@@ -124,7 +124,7 @@ def distributed_lanczos_eigenvalues(A, mesh: Mesh, k: int = 6, *,
                                                exchange, reorth)
     steps = int(np.asarray(brk)) if int(np.asarray(brk)) < m else m
     steps = max(steps, 1)
-    ritz, converged = _ritz_from_tridiag(
+    ritz, converged, _ = _ritz_from_tridiag(
         np.asarray(alpha)[:steps], np.asarray(beta)[:steps],
         min(k, steps), which, float(opts.tolerance))
     return QRResult(eigenvalues=jnp.asarray(ritz),

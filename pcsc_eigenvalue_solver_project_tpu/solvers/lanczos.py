@@ -125,7 +125,23 @@ def _ritz_from_tridiag(alpha: np.ndarray, beta: np.ndarray, k: int,
         idx = np.argsort(-np.abs(theta))[:k]
     resid = np.abs(beta[m - 1] * S[m - 1, idx])
     converged = bool(np.all(resid <= tol * (1.0 + np.abs(theta[idx]))))
-    return theta[idx], converged
+    return theta[idx], converged, S[:, idx]
+
+
+def lanczos_eigenpairs(M: AbstractMatrix, k: int = 6, *, m: int | None = None,
+                       opts: SolverOptions = SolverOptions(),
+                       which: str = "LM", reorth: bool = True, dtype=None,
+                       key=None, x0=None):
+    """Like ``lanczos_eigenvalues`` but also returns the Ritz VECTORS.
+
+    Returns ``(result, vectors)`` with ``vectors`` an ``(n, k)`` array of
+    Ritz vectors ``Y = V_m^T S`` decoded to the natural domain (columns
+    normalised). Residuals ``||A y - theta y||`` match the bounds used
+    for ``result.converged``.
+    """
+    res, Y = _lanczos_impl(M, k, m=m, opts=opts, which=which, reorth=reorth,
+                           dtype=dtype, key=key, x0=x0, want_vectors=True)
+    return res, Y
 
 
 def lanczos_eigenvalues(M: AbstractMatrix, k: int = 6, *, m: int | None = None,
@@ -140,6 +156,12 @@ def lanczos_eigenvalues(M: AbstractMatrix, k: int = 6, *, m: int | None = None,
     the selected Ritz values, ``iterations`` the Krylov steps actually run,
     and ``converged`` the all-pairs Ritz-residual test at ``opts.tolerance``.
     """
+    return _lanczos_impl(M, k, m=m, opts=opts, which=which, reorth=reorth,
+                         dtype=dtype, key=key, x0=x0, want_vectors=False)
+
+
+def _lanczos_impl(M: AbstractMatrix, k: int, *, m, opts, which, reorth,
+                  dtype, key, x0, want_vectors: bool):
     if which not in ("LM", "LA", "SA"):
         raise ValueError(f"lanczos_eigenvalues: unknown which={which!r}")
     if dtype is not None:
@@ -166,9 +188,16 @@ def lanczos_eigenvalues(M: AbstractMatrix, k: int = 6, *, m: int | None = None,
     V, alpha, beta, brk = _lanczos_basis(M, x0, m, reorth)
     steps = int(np.asarray(brk)) if int(np.asarray(brk)) < m else m
     steps = max(steps, 1)
-    ritz, converged = _ritz_from_tridiag(
+    ritz, converged, S = _ritz_from_tridiag(
         np.asarray(alpha)[:steps], np.asarray(beta)[:steps],
         min(k, steps), which, float(opts.tolerance))
-    return QRResult(eigenvalues=jnp.asarray(ritz),
-                    iterations=jnp.asarray(steps, jnp.int32),
-                    converged=jnp.asarray(converged))
+    res = QRResult(eigenvalues=jnp.asarray(ritz),
+                   iterations=jnp.asarray(steps, jnp.int32),
+                   converged=jnp.asarray(converged))
+    if not want_vectors:
+        return res
+    # Ritz vectors: Y = sum_j S[j, :] V_j, decoded to the natural domain
+    Y = jnp.tensordot(jnp.asarray(S[:steps], V.dtype), V[:steps],
+                      axes=[[0], [0]])  # (k, *vec_shape)
+    Y = jnp.stack([M.decode_vec(y) for y in Y], axis=1)  # (n, k)
+    return res, Y

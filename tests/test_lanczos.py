@@ -151,3 +151,30 @@ class TestDistributedLanczos:
             distributed_lanczos_eigenvalues(A, mesh, k=0)
         with pytest.raises(ValueError, match="which"):
             distributed_lanczos_eigenvalues(A, mesh, which="ZZ")
+
+
+class TestLanczosEigenpairs:
+    def test_ritz_vectors_satisfy_residual(self, operator, exact, key):
+        res, Y = es.lanczos_eigenpairs(operator, k=4, m=60, which="LA",
+                                       opts=es.SolverOptions(tolerance=1e-9),
+                                       key=key)
+        assert bool(res.converged)
+        assert Y.shape == (400, 4)
+        A = np.asarray(operator.to_dense())
+        for i in range(4):
+            y = np.asarray(Y[:, i])
+            th = float(res.eigenvalues[i])
+            assert np.linalg.norm(A @ y - th * y) < 1e-7 * (1 + abs(th))
+            assert abs(np.linalg.norm(y) - 1) < 1e-8
+
+    def test_interleaved_vectors_decode(self, operator, key):
+        il = SparseDIA(data=operator.data.astype(jnp.float32),
+                       offsets=operator.offsets,
+                       shape=operator.shape).interleaved()
+        res, Y = es.lanczos_eigenpairs(il, k=2, m=60, which="LA", key=key,
+                                       opts=es.SolverOptions(tolerance=1e-4))
+        assert Y.shape == (400, 2)  # decoded from the il domain
+        A = np.asarray(il.to_dense())
+        y = np.asarray(Y[:, 0])
+        th = float(res.eigenvalues[0])
+        assert np.linalg.norm(A @ y - th * y) < 1e-2 * (1 + abs(th))
