@@ -21,11 +21,17 @@ class BufferedFile {
   explicit BufferedFile(const char* path) : f_(std::fopen(path, "wb")) {
     buf_.reserve(kCap + 512);
   }
-  ~BufferedFile() {
-    if (f_) {
-      flush();
-      std::fclose(f_);
-    }
+  ~BufferedFile() { close(); }
+
+  // Flush + fclose, capturing BOTH failure sources: a short fwrite of our
+  // buffer and an error draining stdio's own buffer inside fclose (e.g.
+  // ENOSPC) — otherwise a truncated file could report success.
+  bool close() {
+    if (!f_) return !failed_;
+    flush();
+    if (std::fclose(f_) != 0) failed_ = true;
+    f_ = nullptr;
+    return !failed_;
   }
   bool ok() const { return f_ != nullptr && !failed_; }
 
@@ -96,8 +102,7 @@ int eigsol_write_dense(const char* path, long rows, long cols,
     }
     out.append_str("\n");
   }
-  out.flush();
-  if (!out.ok()) {
+  if (!out.close()) {
     set_err(err, errlen, "short write");
     return 1;
   }
@@ -131,8 +136,7 @@ int eigsol_write_sparse(const char* path, long rows, long cols, long nnz,
     }
     out.append_str("\n");
   }
-  out.flush();
-  if (!out.ok()) {
+  if (!out.close()) {
     set_err(err, errlen, "short write");
     return 1;
   }

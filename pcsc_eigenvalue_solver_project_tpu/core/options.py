@@ -46,7 +46,7 @@ class ShiftedSolverOptions(SolverOptions):
     # Inner linear-solve controls (sparse/Krylov path only).
     inner_tolerance: float = 1e-12
     inner_max_iterations: Optional[int] = None  # default: 4*n
-    inner_method: str = "auto"  # "auto" | "dense_lu" | "bicgstab"
+    inner_method: str = "auto"  # "auto" | "dense_lu" | "bicgstab" | "gmres"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,14 @@ class AbstractMatrix:
         raise TypeError(f"{type(self).__name__}: stored matrix is not sparse CSR")
 
 
+def decode_result(m: AbstractMatrix, result):
+    """Decode a solver result's eigenvector from the operator's vector
+    domain back to the natural (n,) layout (identity for most kinds)."""
+    import dataclasses
+    return dataclasses.replace(result,
+                               eigenvector=m.decode_vec(result.eigenvector))
+
+
 def require_square(m: AbstractMatrix, what: str) -> None:
     """Parity with the 'matrix must be square' guards (power_method.hpp:52-55)."""
     if m.shape[0] != m.shape[1]:

@@ -175,10 +175,6 @@ class PartitionedILDIA:
     def dtype(self):
         return np.dtype(self.data_il.dtype)
 
-    @property
-    def nnz(self) -> int:
-        return int(np.count_nonzero(np.asarray(self.data_il)))
-
 
 def partition_dia_il(m: SparseDIA, mesh: Mesh, *, axis: str = ROW_AXIS,
                      tile_s: int | None = None, dtype=None) -> PartitionedILDIA:

@@ -90,7 +90,12 @@ def distributed_lanczos_eigenvalues(A, mesh: Mesh, k: int = 6, *,
     """Top-``k`` eigenvalues of a row-partitioned Hermitian operator
     (``PartitionedELL``, ``PartitionedDIA`` or the interleaved
     ``PartitionedILDIA`` fast path)."""
-    from .dia import PartitionedILDIA, encode_vec_il_sharded
+    from .dia import PartitionedDIA, PartitionedILDIA, encode_vec_il_sharded
+    if not isinstance(A, (PartitionedELL, PartitionedDIA, PartitionedILDIA)):
+        raise ValueError(
+            "distributed_lanczos_eigenvalues: operator must be a "
+            "PartitionedELL, PartitionedDIA or PartitionedILDIA, got "
+            f"{type(A).__name__}")
     if which not in ("LM", "LA", "SA"):
         raise ValueError(f"distributed_lanczos_eigenvalues: unknown which={which!r}")
     if exchange == "auto":

@@ -32,7 +32,8 @@ from ..core.dtypes import check_scalar_type, real_dtype_of
 from ..core.options import ShiftedSolverOptions
 from ..core.results import EigenResult
 from ..core.tolerance import is_close_relative
-from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
+from ..matrix.protocol import (AbstractMatrix, decode_result,
+                               require_nonempty, require_square)
 from ..ops.krylov import solve_shifted_bicgstab
 from ..utils.prng import default_key, random_unit_vector
 
@@ -301,12 +302,16 @@ def shifted_inverse_power_split_complex(M, opts: ShiftedSolverOptions = ShiftedS
         nat = M if isinstance(M, SplitComplexDIA) else M.to_natural()
         return _inverse_power_splitc_dense(nat.to_dense_planes(), shift_p,
                                            x0, max_it, tol)
+    if method != "bicgstab":
+        raise ValueError(
+            f"shifted_inverse_power_method: split-complex operators support "
+            f"inner_method 'auto' | 'dense_lu' | 'bicgstab' (no plane GMRES "
+            f"yet), got {method!r}")
     inner_maxiter = opts.inner_max_iterations or 4 * n
     r = _inverse_power_splitc(M, shift_p, M.encode_vec(x0), max_it, tol,
                               jnp.asarray(opts.inner_tolerance, ftype),
                               inner_maxiter)
-    import dataclasses as _dc
-    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+    return decode_result(M, r)
 
 
 @jax.jit
@@ -422,13 +427,11 @@ def shifted_inverse_power_method(M: AbstractMatrix,
         r = _inverse_power_krylov(M, shift, M.encode_vec(x0), max_it, tol,
                                   jnp.asarray(opts.inner_tolerance, ftype),
                                   inner_maxiter)
-        import dataclasses as _dc
-        return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+        return decode_result(M, r)
     if method == "gmres":
         inner_m = min(opts.inner_max_iterations or 40, n)
         r = _inverse_power_gmres(M, shift, M.encode_vec(x0), max_it, tol,
                                  jnp.asarray(opts.inner_tolerance, ftype),
                                  inner_m)
-        import dataclasses as _dc
-        return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+        return decode_result(M, r)
     raise ValueError(f"shifted_inverse_power_method: unknown inner method {method!r}")

@@ -51,14 +51,19 @@ def _block_apply(M: AbstractMatrix):
     return jax.vmap(M.matvec, in_axes=1, out_axes=1)
 
 
-@partial(jax.jit, static_argnames=("apply_one", "iters"))
-def _spectral_radius_overestimate(apply_one, x0: jax.Array, iters: int):
-    """||A||_2 overestimate: power iteration + a 1.05 safety factor."""
+@partial(jax.jit, static_argnames=("iters",))
+def _spectral_radius_overestimate(M, x0: jax.Array, iters: int):
+    """||A||_2 overestimate: power iteration + a 1.05 safety factor.
+
+    ``M`` rides as a pytree argument (jit cache keyed on its treedef and
+    shapes, NOT on a per-call closure id — a static callable here would
+    recompile on every call)."""
+    apply = _block_apply(M)
     rdt = jnp.zeros((), x0.dtype).real.dtype
 
     def body(_, carry):
         x, lam = carry
-        y = apply_one(x)
+        y = apply(x[:, None])[:, 0]
         nrm = jnp.linalg.norm(y).astype(rdt)
         safe = jnp.where(nrm == 0, 1.0, nrm).astype(x.dtype)
         return (y / safe, nrm)
@@ -123,8 +128,7 @@ def lobpcg_eigenvalues(M: AbstractMatrix, k: int = 4, *,
             # deterministic Gershgorin bound (banded formats): one pass
             sigma = (1.0 + 1e-6) * M.spectral_bound().astype(vec_dt)
         else:
-            sigma = _spectral_radius_overestimate(
-                lambda v: apply(v[:, None])[:, 0], X0[:, 0], 30).astype(vec_dt)
+            sigma = _spectral_radius_overestimate(M, X0[:, 0], 30).astype(vec_dt)
         op = lambda X: sigma * X - apply(X)
     else:
         op = apply

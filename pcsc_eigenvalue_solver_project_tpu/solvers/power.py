@@ -27,7 +27,8 @@ from ..core.dtypes import check_scalar_type, real_dtype_of
 from ..core.options import SolverOptions
 from ..core.results import EigenResult
 from ..core.tolerance import is_close_relative
-from ..matrix.protocol import AbstractMatrix, require_nonempty, require_square
+from ..matrix.protocol import (AbstractMatrix, decode_result,
+                               require_nonempty, require_square)
 from ..utils.prng import default_key, random_unit_vector
 
 
@@ -190,8 +191,7 @@ def power_method_split_complex(M, opts: SolverOptions = SolverOptions(), *,
     r = _power_loop_split(M, x0,
                           jnp.asarray(opts.max_iterations, jnp.int32),
                           jnp.asarray(opts.tolerance, rdt))
-    import dataclasses as _dc
-    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+    return decode_result(M, r)
 
 
 def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
@@ -227,5 +227,4 @@ def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
     x0 = M.encode_vec(x0)
     r = _power_loop(M, x0, jnp.asarray(opts.max_iterations, jnp.int32),
                     jnp.asarray(opts.tolerance, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
-    import dataclasses as _dc
-    return _dc.replace(r, eigenvector=M.decode_vec(r.eigenvector))
+    return decode_result(M, r)

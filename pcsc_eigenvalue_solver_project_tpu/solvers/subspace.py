@@ -208,6 +208,10 @@ def chebyshev_subspace_iteration(M: AbstractMatrix, k: int = 4, *,
     # spectrum enclosure for the filter's lower edge
     if interval is not None:
         lo, hi = float(interval[0]), float(interval[1])
+        if not lo < hi:
+            raise ValueError(
+                f"chebyshev_subspace_iteration: interval must satisfy "
+                f"lo < hi, got ({lo}, {hi})")
     elif hasattr(M, "gershgorin_interval"):
         g = M.gershgorin_interval()
         lo, hi = float(g[0]), float(g[1])
