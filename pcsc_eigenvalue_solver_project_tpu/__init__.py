@@ -34,7 +34,8 @@ from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
 from .solvers.arnoldi import arnoldi_eigenvalues
-from .solvers.lanczos import lanczos_eigenpairs, lanczos_eigenvalues
+from .solvers.lanczos import (lanczos_eigenpairs, lanczos_eigenvalues,
+                              lanczos_thick_restart)
 from .solvers.lobpcg import lobpcg_eigenvalues
 from .solvers.subspace import chebyshev_subspace_iteration, subspace_iteration
 from .matrix.dia import InterleavedDIA, SparseDIA
@@ -53,6 +54,7 @@ __all__ = [
     "arnoldi_eigenvalues",
     "lanczos_eigenpairs",
     "lanczos_eigenvalues",
+    "lanczos_thick_restart",
     "lobpcg_eigenvalues",
     "chebyshev_subspace_iteration",
     "subspace_iteration",

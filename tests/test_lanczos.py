@@ -178,3 +178,48 @@ class TestLanczosEigenpairs:
         y = np.asarray(Y[:, 0])
         th = float(res.eigenvalues[0])
         assert np.linalg.norm(A @ y - th * y) < 1e-2 * (1 + abs(th))
+
+
+class TestThickRestart:
+    """TRLan: memory-bounded basis resolves what a single sweep cannot."""
+
+    def test_clustered_top_converges_where_plain_fails(self, key):
+        L = SparseDIA.from_csr(laplacian_1d(500))
+        exact = np.sort(2 - 2 * np.cos(np.arange(1, 501) * np.pi / 501))
+        r_plain = es.lanczos_eigenvalues(
+            L, k=5, m=60, which="LA",
+            opts=es.SolverOptions(tolerance=1e-8), key=key)
+        assert not bool(r_plain.converged)
+        r = es.lanczos_thick_restart(
+            L, k=5, m=60, which="LA",
+            opts=es.SolverOptions(tolerance=1e-8), key=key)
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.asarray(r.eigenvalues),
+                                   exact[::-1][:5], atol=1e-8)
+
+    def test_smallest_end(self, key):
+        L = SparseDIA.from_csr(laplacian_1d(500))
+        exact = np.sort(2 - 2 * np.cos(np.arange(1, 501) * np.pi / 501))
+        r = es.lanczos_thick_restart(
+            L, k=3, m=60, which="SA",
+            opts=es.SolverOptions(tolerance=1e-8), key=key)
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.asarray(r.eigenvalues), exact[:3],
+                                   atol=1e-8)
+
+    def test_separated_spectrum_single_cycle(self, operator, exact, key):
+        # well-separated top: should converge without restarting much
+        r = es.lanczos_thick_restart(
+            operator, k=4, m=60, which="LA",
+            opts=es.SolverOptions(tolerance=1e-9), key=key)
+        assert bool(r.converged)
+        np.testing.assert_allclose(np.asarray(r.eigenvalues),
+                                   np.sort(exact)[::-1][:4], rtol=1e-9)
+
+    def test_errors(self, operator):
+        with pytest.raises(ValueError, match="which"):
+            es.lanczos_thick_restart(operator, which="LM")
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            es.lanczos_thick_restart(operator, k=0)
+        with pytest.raises(ValueError, match="too small"):
+            es.lanczos_thick_restart(operator, k=4, m=5)
