@@ -105,13 +105,18 @@ def run_on_file(args) -> int:
         res = arnoldi_eigenvalues(M, k=args.k)
         for i, v in enumerate(np.asarray(res.eigenvalues)):
             print(f"  ritz[{i}] = {_fmt(v)}")
-    elif args.solver in ("lanczos", "lobpcg", "subspace"):
+    elif args.solver in ("lanczos", "trlanczos", "lobpcg", "subspace"):
         from .solvers.lanczos import lanczos_eigenvalues
         from .solvers.lobpcg import lobpcg_eigenvalues
         from .solvers.subspace import subspace_iteration
         opts = SolverOptions(args.max_iterations, args.tolerance)
         if args.solver == "lanczos":
             res = lanczos_eigenvalues(M, k=args.k, which=args.which, opts=opts)
+        elif args.solver == "trlanczos":
+            from .solvers.lanczos import lanczos_thick_restart
+            res = lanczos_thick_restart(
+                M, k=args.k, opts=opts,
+                which=args.which if args.which != "LM" else "LA")
         elif args.solver == "lobpcg":
             res = lobpcg_eigenvalues(M, k=args.k, opts=opts,
                                      which=args.which if args.which != "LM" else "LA")
@@ -130,8 +135,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float64",
                     choices=["float32", "float64", "complex64", "complex128"])
     ap.add_argument("--solver", default="power",
-                    choices=["power", "inverse", "qr", "arnoldi",
-                             "lanczos", "lobpcg", "subspace"])
+                    choices=["power", "inverse", "qr", "arnoldi", "lanczos",
+                             "trlanczos", "lobpcg", "subspace"])
     ap.add_argument("--qr-mode", default="parity", choices=["parity", "accelerated"])
     ap.add_argument("--shift", default="0", help="shift (complex ok: '2.3+4j')")
     ap.add_argument("--max-iterations", type=int, default=1000)
