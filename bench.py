@@ -112,6 +112,53 @@ def bench_spmv(n: int, verbose: bool):
     return results
 
 
+def bench_general(n: int, nnz_per_row: int, verbose: bool):
+    """General (unstructured) sparse SpMV inside the power loop — the
+    reference's sparse hot op with no exploitable structure
+    (power_method.hpp:69, arbitrary Eigen::SparseMatrix). Fast path: the
+    packed gather-ELL Pallas kernel (ops/pallas/gell_spmv.py); baseline:
+    XLA ELL gather (the untuned way to run this on TPU)."""
+    from pcsc_eigenvalue_solver_project_tpu.matrix.sparse import SparseCSR
+    from pcsc_eigenvalue_solver_project_tpu.ops.matvec import ell_matvec
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.gell_spmv import (
+        gell_matvec, pack_gell)
+
+    rng = np.random.default_rng(0)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    cols = rng.integers(0, n, n * nnz_per_row)
+    vals = rng.standard_normal(n * nnz_per_row).astype(np.float32)
+    key = rows.astype(np.int64) * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols, vals = rows[uniq], cols[uniq], vals[uniq]
+    nnz = len(rows)
+
+    pack = pack_gell(rows, cols, vals, (n, n))
+    x0 = jnp.ones((n,), jnp.float32)
+
+    def power_chain(matvec):
+        def run_body(operand, iters):
+            def body(_, xx):
+                yy = matvec(operand, xx)
+                nn2 = jnp.sum(yy * yy)
+                return yy * jax.lax.rsqrt(jnp.where(nn2 == 0, 1.0, nn2))
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
+        return jax.jit(run_body)
+
+    results = {}
+    run_gell = power_chain(lambda p, x: gell_matvec(p, x))
+    results["pallas_gell"] = nnz / _marginal_time(run_gell, (pack,), lo=20, hi=220)
+
+    csr = SparseCSR.from_coo(rows, cols, vals, (n, n), dtype=np.float32)
+    ell = csr.to_ell()
+    run_ell = power_chain(lambda ops, x: ell_matvec(ops[0], ops[1], x))
+    results["ell_gather"] = nnz / _marginal_time(
+        run_ell, ((ell.indices, ell.data),), lo=5, hi=25)
+    if verbose:
+        for kk, v in sorted(results.items(), key=lambda kv: -kv[1]):
+            print(f"# {kk:12s} {v / 1e9:8.3f} Gnnz/s", file=sys.stderr)
+    return results
+
+
 def bench_block(n: int, nvec: int, verbose: bool):
     """Block SpMM throughput (subspace/LOBPCG workhorse): nvec iterates
     share one read of the diagonals — Gnnz*vec/s, interleaved kernel."""
@@ -256,8 +303,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--suite", default="spmv",
-                    choices=["spmv", "qr", "block", "complex"])
+                    choices=["spmv", "qr", "block", "complex", "general"])
     ap.add_argument("--nvec", type=int, default=8)
+    ap.add_argument("--nnz-per-row", type=int, default=33)
     ap.add_argument("--qr-n", type=int, default=512)
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--watchdog", type=int, default=480)
@@ -265,6 +313,16 @@ def main():
     if args.watchdog:
         _watchdog(args.watchdog)
 
+    if args.suite == "general":
+        results = bench_general(args.n, args.nnz_per_row,
+                                verbose=not args.json_only)
+        _emit_and_cache({
+            "metric": f"spmv_general_nnz_per_s_{args.n // 1000}k_pallas_gell",
+            "value": round(results["pallas_gell"], 1),
+            "unit": "nnz/s",
+            "vs_baseline": round(results["pallas_gell"] / results["ell_gather"], 3),
+        })
+        return
     if args.suite == "block":
         results = bench_block(args.n, args.nvec, verbose=not args.json_only)
         name, best = max(results.items(), key=lambda kv: kv[1])

@@ -24,6 +24,7 @@ from .core.tolerance import is_close_relative
 from .matrix.dense import DenseMatrix
 from .matrix.protocol import AbstractMatrix
 from .matrix.sparse import SparseCSR, SparseELL
+from .matrix.gell import SparseGELL
 from .io.reader import read_matrix_from_file, read_matrix_from_text
 from .io.writer import write_matrix_to_file
 from .solvers.power import power_method
@@ -66,6 +67,7 @@ __all__ = [
     "SolverOptions",
     "SparseCSR",
     "SparseELL",
+    "SparseGELL",
     "is_close_relative",
     "power_method",
     "qr_decompose",

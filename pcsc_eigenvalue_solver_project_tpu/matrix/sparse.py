@@ -9,8 +9,8 @@ gather + segment-sum without dynamic shapes.
 
 ``SparseELL`` is the padded fixed-row-width layout: every row is padded to
 the maximum row nnz so the SpMV becomes one 2-D gather + row reduction —
-static shapes, no scatter, the TPU-friendly general format. Block-sparse
-(dense MXU tiles at sparse locations) lives in ``matrix/block_sparse.py``.
+static shapes, no scatter. The fast TPU execution format for unstructured
+matrices is the packed gather-ELL in ``matrix/gell.py`` (``to_gell()``).
 """
 
 from __future__ import annotations
@@ -153,6 +153,12 @@ class SparseCSR(AbstractMatrix):
         val[rows, slot] = data
         return SparseELL(data=jnp.asarray(val), indices=jnp.asarray(idx),
                          shape=self.shape)
+
+    def to_gell(self, tile_rows: int | None = None):
+        """Convert to the packed gather-ELL TPU execution format
+        (``matrix/gell.py``) — the fast path for unstructured SpMV."""
+        from .gell import SparseGELL
+        return SparseGELL.from_csr(self, tile_rows=tile_rows)
 
     # --- checked access ---
     def as_csr(self):

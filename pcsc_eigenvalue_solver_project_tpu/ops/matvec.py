@@ -7,8 +7,8 @@ dense-GEMV / CSC-SpMV. Here:
 - dense matvec lowers to an XLA dot that runs on the MXU;
 - CSR SpMV uses gather + segment-sum (XLA scatter-add), with an ELL
   (padded row-width) variant whose gather/multiply/reduce fuses better;
-- the Pallas block-sparse kernel lives in ``ops/pallas/bsr_spmv.py`` and is
-  selected by the higher-level dispatch when the operator format supports it.
+- the fast TPU path for unstructured sparsity is the packed gather-ELL
+  Pallas kernel in ``ops/pallas/gell_spmv.py`` (via ``SparseCSR.to_gell()``).
 
 All functions are shape-static and jit-friendly.
 """

@@ -162,6 +162,14 @@ def distributed_matvec(A: PartitionedELL, x, mesh: Mesh, *,
     """One distributed SpMV: global sharded x -> global sharded y (jittable)."""
     if exchange == "auto":
         exchange = "halo" if A.halo_ok else "all_gather"
+    elif exchange == "halo" and not A.halo_ok:
+        # fail loudly: the halo window only covers blocks i-1, i, i+1 — a
+        # wider operator through this path would silently clamp its columns
+        # into the window and return wrong values
+        raise ValueError(
+            "distributed_matvec: exchange='halo' requested but the operator's "
+            "column span exceeds the +/-1-block halo window (halo_ok=False); "
+            "use exchange='all_gather'")
     body = spmv_halo if exchange == "halo" else spmv_all_gather
 
     def local(data, indices, x_local):
