@@ -77,11 +77,9 @@ def hessenberg_host(a) -> "np.ndarray":
     """Host (NumPy) Householder Hessenberg reduction — same algorithm as
     ``hessenberg_dense`` (to_hessenberg.hpp:23-80 semantics).
 
-    Exists because the axon TPU remote compiler hangs on the jitted
-    column-loop for n >= ~40 (reproduced with both dynamic-indexed and
-    pure-mask formulations); the reduction is a one-time O(n^3)
-    preprocessing step, so the accelerated QR path runs it on host for
-    that backend and keeps the sweep loop on device.
+    Fallback for what the Pallas kernel does not take (f64/c128 inputs,
+    n beyond the VMEM cap): the axon TPU remote XLA compiler hangs on the
+    jitted column-loop for n >= ~40, so those cases run on host.
     """
     import numpy as np
     H = np.array(a)
@@ -105,23 +103,53 @@ def hessenberg_host(a) -> "np.ndarray":
     return H
 
 
-# The axon remote compiler wedges on the device column loop above this
-# size (empirically n >= 40); host reduction is used there instead.
+# The axon remote XLA compiler wedges on the jitted column loop above
+# this size (empirically n >= 40); the Pallas kernel takes over there.
 _DEVICE_HESSENBERG_MAX_N_ON_AXON = 32
 
 
-def hessenberg_for_backend(a: jax.Array) -> jax.Array:
-    """Hessenberg reduction routed to device or host per backend quirks."""
+def hessenberg_pallas_backend(a, *, interpret: bool = False):
+    """TPU-resident Hessenberg via the Pallas kernel (f32 planes).
+
+    ``a``: numpy/jax square array, real or complex. Returns a numpy array
+    of the same kind (f32 / c64 precision).
+    """
+    import numpy as np
+    from ..ops.pallas.qr_kernels import hessenberg_planes
+    a = np.asarray(a)
     n = a.shape[0]
-    if jax.default_backend() != "cpu" and n > _DEVICE_HESSENBERG_MAX_N_ON_AXON:
-        import numpy as np
-        return jnp.asarray(hessenberg_host(np.asarray(a)))
-    return hessenberg_dense(a)
+    if np.iscomplexobj(a):
+        planes = np.stack([a.real, a.imag]).astype(np.float32)
+        h = np.asarray(hessenberg_planes(jnp.asarray(planes), n,
+                                         interpret=interpret))
+        return (h[0] + 1j * h[1]).astype(np.complex64)
+    planes = a.astype(np.float32)[None]
+    h = np.asarray(hessenberg_planes(jnp.asarray(planes), n,
+                                     interpret=interpret))
+    return h[0]
+
+
+def hessenberg_for_backend(a: jax.Array) -> jax.Array:
+    """Hessenberg reduction routed per backend: XLA loop on CPU (and for
+    tiny n), the Pallas kernel on accelerators, host NumPy only for what
+    the kernel does not take (f64/c128, n beyond the VMEM cap)."""
+    from .qr_eigenvalues import _use_pallas_qr
+    import numpy as np
+    n = a.shape[0]
+    if jax.default_backend() == "cpu" or n <= _DEVICE_HESSENBERG_MAX_N_ON_AXON:
+        return hessenberg_dense(a)
+    if _use_pallas_qr(n, a.dtype):
+        return jnp.asarray(hessenberg_pallas_backend(np.asarray(a)))
+    return jnp.asarray(hessenberg_host(np.asarray(a)))
 
 
 def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:
-    """Wrapper with the reference's dense-only and scalar-type guards."""
-    from .qr_eigenvalues import _dense_qr_device
+    """Wrapper with the reference's dense-only and scalar-type guards.
+
+    TPU-resident via the Pallas kernel for f32/c64 beyond the tiny-n XLA
+    path; complex results are returned host-side (the accelerator backend
+    exposes no complex dtypes)."""
+    from .qr_eigenvalues import _dense_qr_device, _use_pallas_qr
     if not M.is_dense:
         raise ValueError("to_hessenberg: only dense matrices are supported")
     if dtype is not None:
@@ -129,5 +157,13 @@ def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:
     if M.shape[0] != M.shape[1]:
         raise ValueError("to_hessenberg_dense: A must be square")
     import numpy as np
+    n = M.shape[0]
+    if (jax.default_backend() != "cpu" and _use_pallas_qr(n, M.dtype)
+            and n > _DEVICE_HESSENBERG_MAX_N_ON_AXON):
+        h = hessenberg_pallas_backend(np.asarray(M.as_dense()))
+        if np.iscomplexobj(h):
+            with _dense_qr_device():
+                return jnp.asarray(h)
+        return jnp.asarray(h)
     with _dense_qr_device():
         return hessenberg_dense(jnp.asarray(np.asarray(M.as_dense())))

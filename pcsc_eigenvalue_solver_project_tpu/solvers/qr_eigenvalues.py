@@ -398,16 +398,31 @@ def _qr_eigenvalues_accel_real(H0: jax.Array, max_sweeps: jax.Array,
 # public wrapper
 # ---------------------------------------------------------------------------
 
-def _dense_qr_device():
-    """Device context for the dense QR stack.
+# Largest n the Pallas QR kernels take before their VMEM working set
+# (two split planes + transpose temporaries) exceeds the ~16 MB budget.
+_PALLAS_QR_MAX_N = 1024
 
-    The axon TPU remote compiler wedges on the sweep loops (reproduced at
-    n >= ~40 for both the Hessenberg column loop and the Francis
-    while-loop; a wedge also stalls the shared compile service for tens of
-    minutes). Dense QR at the sizes it applies to (n <= a few thousand) is
-    sequential-sweep latency-bound, so on non-CPU backends the whole solve
-    runs on the in-process CPU device; sparse/distributed paths stay on
-    the accelerator.
+
+def _use_pallas_qr(n: int, dtype) -> bool:
+    """True when the dense QR stack should run via the Pallas kernels:
+    accelerator backend, f32-precision dtype, and the planes fit VMEM.
+    (f64/c128 inputs keep the XLA path — the TPU has no native f64.)"""
+    if jax.default_backend() == "cpu":
+        return False
+    return (n <= _PALLAS_QR_MAX_N
+            and np.dtype(dtype).itemsize <= (8 if np.dtype(dtype).kind == "c"
+                                             else 4))
+
+
+def _dense_qr_device():
+    """Device context for the *XLA* dense QR fallback paths.
+
+    The main dense QR stack is TPU-resident via the Pallas kernels in
+    ``ops/pallas/qr_kernels.py`` (SURVEY §7 step 5). This context only
+    covers what those kernels do not take — f64/c128 inputs and
+    n > _PALLAS_QR_MAX_N — because the axon TPU remote XLA compiler
+    wedges on the jitted sweep loops at n >= ~40 (round-1 finding), so
+    those diagnostics run on the in-process CPU device.
     """
     import contextlib
     if jax.default_backend() == "cpu":
@@ -436,6 +451,20 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
     mode = opts.mode if isinstance(opts, QROptions) else "parity"
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     max_it = jnp.asarray(opts.max_iterations, jnp.int32)
+
+    n = M.shape[0]
+    if mode == "accelerated" and _use_pallas_qr(n, M.dtype):
+        # TPU-resident path: Pallas Hessenberg + in-kernel shifted-Givens
+        # QR with deflation (ops/pallas/qr_kernels.py).
+        from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
+        dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
+            opts.deflation_tolerance is not None else opts.tolerance
+        eigs, sweeps, conv = qr_eigenvalues_pallas(
+            np.asarray(M.as_dense()), int(opts.max_iterations), float(dtol))
+        return QRResult(eigenvalues=eigs,
+                        iterations=jnp.asarray(sweeps, jnp.int32),
+                        converged=jnp.asarray(conv))
+
     with _dense_qr_device():
         a = jnp.asarray(np.asarray(M.as_dense()))
         if mode == "parity":

@@ -1,0 +1,121 @@
+"""Pallas dense-QR kernels (ops/pallas/qr_kernels.py) vs XLA and numpy.
+
+Runs the kernel logic in interpreter mode on CPU (same program that runs
+compiled on the TPU). Oracles: the XLA ``hessenberg_dense`` implementation
+and ``numpy.linalg.eigvals`` with assignment matching (conjugate-pair
+ordering is not stable across implementations).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+    hessenberg_planes, qr_eigenvalues_pallas, qr_hessenberg_eig_planes)
+from pcsc_eigenvalue_solver_project_tpu.solvers.hessenberg import (
+    hessenberg_dense, hessenberg_pallas_backend)
+
+
+def _match_err(expected, got):
+    from scipy.optimize import linear_sum_assignment
+    C = np.abs(np.asarray(expected)[:, None] - np.asarray(got)[None, :])
+    r, c = linear_sum_assignment(C)
+    return C[r, c].max() / max(np.abs(expected).max(), 1.0)
+
+
+class TestHessenbergKernel:
+    @pytest.mark.parametrize("n", [2, 5, 16, 33])
+    def test_matches_xla_real(self, n):
+        rng = np.random.default_rng(n)
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        ref = np.asarray(hessenberg_dense(jnp.asarray(a)))
+        got = np.asarray(hessenberg_planes(jnp.asarray(a[None]), n,
+                                           interpret=True))[0]
+        np.testing.assert_allclose(got, ref, atol=5e-5 * max(n, 1))
+
+    @pytest.mark.parametrize("n", [5, 16])
+    def test_matches_xla_complex(self, n):
+        rng = np.random.default_rng(n)
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        ref = np.asarray(hessenberg_dense(jnp.asarray(a)))
+        planes = np.stack([a.real, a.imag]).astype(np.float32)
+        h = np.asarray(hessenberg_planes(jnp.asarray(planes), n,
+                                         interpret=True))
+        got = h[0] + 1j * h[1]
+        np.testing.assert_allclose(got, ref, atol=5e-5 * max(n, 1))
+
+    def test_backend_helper_roundtrip(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((9, 9)).astype(np.float32)
+        h = hessenberg_pallas_backend(a, interpret=True)
+        assert h.dtype == np.float32
+        assert np.abs(np.tril(h, -2)).max() < 1e-5
+        err = _match_err(np.linalg.eigvals(a.astype(np.complex128)),
+                         np.linalg.eigvals(h.astype(np.complex128)))
+        assert err < 1e-5
+
+    def test_skips_already_hessenberg(self):
+        # an already-Hessenberg matrix passes through unchanged (the
+        # tail-zero skip, to_hessenberg.hpp:46-48)
+        rng = np.random.default_rng(1)
+        a = np.triu(rng.standard_normal((8, 8)), -1).astype(np.float32)
+        got = np.asarray(hessenberg_planes(jnp.asarray(a[None]), 8,
+                                           interpret=True))[0]
+        np.testing.assert_allclose(got, a, atol=1e-6)
+
+
+class TestQREigKernel:
+    @pytest.mark.parametrize("n", [2, 5, 16])
+    def test_real_spectrum(self, n):
+        rng = np.random.default_rng(n)
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        eigs, sweeps, conv = qr_eigenvalues_pallas(a, 60 * n, 1e-6,
+                                                   interpret=True)
+        assert conv
+        assert _match_err(np.linalg.eigvals(a.astype(np.complex128)),
+                          eigs) < 5e-5
+
+    @pytest.mark.parametrize("n", [5, 16])
+    def test_complex_spectrum(self, n):
+        rng = np.random.default_rng(100 + n)
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        eigs, sweeps, conv = qr_eigenvalues_pallas(a, 60 * n, 1e-6,
+                                                   interpret=True)
+        assert conv
+        assert _match_err(np.linalg.eigvals(a.astype(np.complex128)),
+                          eigs) < 5e-5
+
+    def test_symmetric_exact(self):
+        # symmetric: all-real spectrum, tight agreement
+        rng = np.random.default_rng(7)
+        b = rng.standard_normal((12, 12)).astype(np.float32)
+        a = (b + b.T) / 2
+        eigs, _, conv = qr_eigenvalues_pallas(a, 600, 1e-6, interpret=True)
+        assert conv
+        assert np.abs(eigs.imag).max() < 1e-4
+        got = np.sort(eigs.real)
+        want = np.sort(np.linalg.eigvalsh(a.astype(np.float64)))
+        np.testing.assert_allclose(got, want, atol=2e-5 * 12)
+
+    def test_hessenberg_input_direct(self):
+        # feed an already-Hessenberg matrix straight to the eig kernel
+        rng = np.random.default_rng(3)
+        h = np.triu(rng.standard_normal((10, 10)), -1).astype(np.float32)
+        planes = jnp.asarray(np.stack([h, np.zeros_like(h)]))
+        eig, sweeps, hi = qr_hessenberg_eig_planes(planes, 10, 600, 1e-6,
+                                                   interpret=True)
+        assert int(hi) <= 1
+        e = np.asarray(eig)
+        assert _match_err(np.linalg.eigvals(h.astype(np.complex128)),
+                          (e[0] + 1j * e[1])[:10]) < 5e-5
+
+    def test_respects_max_sweeps(self):
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal((8, 8)).astype(np.float32)
+        eigs, sweeps, conv = qr_eigenvalues_pallas(a, 2, 1e-12,
+                                                   interpret=True)
+        assert sweeps == 2
+        assert not conv
