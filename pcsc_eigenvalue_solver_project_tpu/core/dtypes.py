@@ -71,3 +71,23 @@ def check_scalar_type(array_dtype, expected_dtype, what: str) -> None:
     if np.dtype(array_dtype) != np.dtype(expected_dtype):
         raise TypeError(f"{what}: scalar type mismatch "
                         f"(stored {np.dtype(array_dtype)}, requested {np.dtype(expected_dtype)})")
+
+
+def complex_safe_device():
+    """Device context for arrays the current backend cannot hold.
+
+    The axon TPU backend exposes no complex dtypes (complex ops raise
+    Unimplemented and complex arrays cannot be read back) — complex data
+    is pinned to the in-process CPU device there; the TPU compute paths
+    for complex matrices run in split re/im planes instead
+    (matrix/split_complex.py, ops/pallas/qr_kernels.py).
+    """
+    import contextlib
+    import jax
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)

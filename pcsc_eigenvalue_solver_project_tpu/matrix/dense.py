@@ -41,7 +41,17 @@ class DenseMatrix(AbstractMatrix):
     def from_array(a, dtype=None) -> "DenseMatrix":
         if dtype is not None:
             dtype = canonical_dtype(dtype)
-        arr = jnp.asarray(a, dtype=dtype)
+        probe = np.dtype(dtype) if dtype is not None else \
+            np.asarray(a).dtype if not hasattr(a, "dtype") else np.dtype(a.dtype)
+        if probe.kind == "c":
+            # complex arrays live on the CPU device when the accelerator
+            # backend has no complex support (axon); TPU compute paths for
+            # complex use split re/im planes instead
+            from ..core.dtypes import complex_safe_device
+            with complex_safe_device():
+                arr = jnp.asarray(np.asarray(a), dtype=dtype)
+        else:
+            arr = jnp.asarray(a, dtype=dtype)
         if arr.ndim != 2:
             raise ValueError(f"DenseMatrix: expected a 2-D array, got ndim={arr.ndim}")
         canonical_dtype(arr.dtype)

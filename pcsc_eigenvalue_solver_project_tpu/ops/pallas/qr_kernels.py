@@ -200,6 +200,7 @@ def hessenberg_planes(planes: jax.Array, n: jax.Array, *,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(jnp.asarray(n, jnp.int32).reshape(1), p)
     return out[:, :m, :m]
@@ -422,6 +423,7 @@ def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        input_output_aliases={2: 0},
         interpret=interpret,
     )(jnp.stack([jnp.asarray(n, jnp.int32),
                  jnp.asarray(max_sweeps, jnp.int32)]),
@@ -455,3 +457,273 @@ def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
     e = np.asarray(jax.device_get(eig))
     return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
             int(sweeps), bool(int(hi) <= 1))
+
+
+# ---------------------------------------------------------------------------
+# kernel 3: Householder QR decompose + the reference parity iteration
+# ---------------------------------------------------------------------------
+
+def _hh_qr_step(rq_ref, k, np_: int, n_planes: int):
+    """One Householder column step of A = QR on the plane stack
+    ``rq_ref``: planes [0..n_planes) hold R, planes [n_planes..2*n_planes)
+    hold Q. Mirrors qr_decompose.hpp:51-84 semantics (tail-zero and
+    degenerate skips, phase-correct sign)."""
+    two = n_planes == 2
+    HI = jax.lax.Precision.HIGHEST
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+
+    e_k = (col_idx == k).astype(jnp.float32)
+    colr = jnp.dot(rq_ref[0], e_k, preferred_element_type=jnp.float32,
+                   precision=HI)
+    coli = (jnp.dot(rq_ref[1], e_k, preferred_element_type=jnp.float32,
+                    precision=HI) if two else None)
+
+    mask_ge_k = (col_idx >= k).astype(jnp.float32)
+    xr = colr * mask_ge_k
+    xi = coli * mask_ge_k if two else None
+    nrm2 = jnp.sum(xr * xr) + (jnp.sum(xi * xi) if two else 0.0)
+    norm_x = jnp.sqrt(nrm2)
+
+    mask_t = (col_idx >= k + 1).astype(jnp.float32)
+    tail2 = jnp.sum(colr * colr * mask_t) + (
+        jnp.sum(coli * coli * mask_t) if two else 0.0)
+    tail_zero = tail2 == 0.0
+
+    x0r = jnp.sum(colr * e_k)
+    x0i = jnp.sum(coli * e_k) if two else zero
+    m0 = jnp.sqrt(x0r * x0r + x0i * x0i)
+    has0 = m0 > 0.0
+    m0s = jnp.where(has0, m0, one)
+    sgr = jnp.where(has0, x0r / m0s, one)
+    sgi = jnp.where(has0, x0i / m0s, zero)
+    alphar = -sgr * norm_x
+    alphai = -sgi * norm_x
+
+    vr = xr - alphar * e_k
+    vn2 = jnp.sum(vr * vr)
+    if two:
+        vi = xi - alphai * e_k
+        vn2 = vn2 + jnp.sum(vi * vi)
+    degenerate = vn2 == 0.0
+    vinv = jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+    vr = vr * vinv
+    if two:
+        vi = vi * vinv
+
+    factor = jnp.where(jnp.logical_or(tail_zero, degenerate), zero, 2.0 * one)
+    lane_ge_k = (jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+                 >= k).astype(jnp.float32)
+
+    if two:
+        # R -= 2 v (v^H R), cols >= k (qr_decompose.hpp:77-79). Every
+        # update is staged as a separate read-modify-write through the ref
+        # so at most ~2 full matrices are live at once (VMEM budget).
+        wr = (jnp.dot(vr.T, rq_ref[0], preferred_element_type=jnp.float32,
+                      precision=HI)
+              + jnp.dot(vi.T, rq_ref[1], preferred_element_type=jnp.float32,
+                        precision=HI))
+        wi = (jnp.dot(vr.T, rq_ref[1], preferred_element_type=jnp.float32,
+                      precision=HI)
+              - jnp.dot(vi.T, rq_ref[0], preferred_element_type=jnp.float32,
+                        precision=HI))
+        wr = wr * lane_ge_k
+        wi = wi * lane_ge_k
+        rq_ref[0] = rq_ref[0] - factor * jnp.dot(
+            vr, wr, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[0] = rq_ref[0] + factor * jnp.dot(
+            vi, wi, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[1] = rq_ref[1] - factor * jnp.dot(
+            vr, wi, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[1] = rq_ref[1] - factor * jnp.dot(
+            vi, wr, preferred_element_type=jnp.float32, precision=HI)
+        # Q -= 2 (Q v) v^H (qr_decompose.hpp:82-84)
+        ur = (jnp.dot(rq_ref[2], vr, preferred_element_type=jnp.float32,
+                      precision=HI)
+              - jnp.dot(rq_ref[3], vi, preferred_element_type=jnp.float32,
+                        precision=HI))
+        ui = (jnp.dot(rq_ref[2], vi, preferred_element_type=jnp.float32,
+                      precision=HI)
+              + jnp.dot(rq_ref[3], vr, preferred_element_type=jnp.float32,
+                        precision=HI))
+        rq_ref[2] = rq_ref[2] - factor * jnp.dot(
+            ur, vr.T, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[2] = rq_ref[2] - factor * jnp.dot(
+            ui, vi.T, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[3] = rq_ref[3] - factor * jnp.dot(
+            ui, vr.T, preferred_element_type=jnp.float32, precision=HI)
+        rq_ref[3] = rq_ref[3] + factor * jnp.dot(
+            ur, vi.T, preferred_element_type=jnp.float32, precision=HI)
+    else:
+        wr = jnp.dot(vr.T, rq_ref[0], preferred_element_type=jnp.float32,
+                     precision=HI) * lane_ge_k
+        rq_ref[0] = rq_ref[0] - factor * jnp.dot(
+            vr, wr, preferred_element_type=jnp.float32, precision=HI)
+        ur = jnp.dot(rq_ref[1], vr, preferred_element_type=jnp.float32,
+                     precision=HI)
+        rq_ref[1] = rq_ref[1] - factor * jnp.dot(
+            ur, vr.T, preferred_element_type=jnp.float32, precision=HI)
+
+
+def _qr_decompose_kernel(scal_ref, in_ref, rq_ref, *, n_planes: int,
+                         np_: int):
+    """Single QR decomposition: rq planes <- (R..., Q...)."""
+    kmax = scal_ref[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+           ).astype(jnp.float32)
+    for p in range(n_planes):
+        rq_ref[p] = in_ref[p]
+    rq_ref[n_planes] = eye
+    if n_planes == 2:
+        rq_ref[3] = jnp.zeros((np_, np_), jnp.float32)
+
+    def body(k, carry):
+        _hh_qr_step(rq_ref, k, np_, n_planes)
+        return carry
+
+    jax.lax.fori_loop(0, kmax, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qr_decompose_planes(planes: jax.Array, kmax: jax.Array, *,
+                        interpret: bool = False):
+    """Householder QR of square split planes: returns (R_planes, Q_planes),
+    each (n_planes, m, m) f32. ``kmax`` = number of columns to eliminate
+    (min(m_true, n_true) of the live region)."""
+    n_planes, m, _ = planes.shape
+    np_ = max(_round_up(m, LANES), LANES)
+    p = jnp.pad(planes.astype(jnp.float32),
+                ((0, 0), (0, np_ - m), (0, np_ - m)))
+    rq = pl.pallas_call(
+        functools.partial(_qr_decompose_kernel, n_planes=n_planes, np_=np_),
+        out_shape=jax.ShapeDtypeStruct((2 * n_planes, np_, np_), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(kmax, jnp.int32).reshape(1), p)
+    return rq[:n_planes, :m, :m], rq[n_planes:, :m, :m]
+
+
+def _qr_parity_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref,
+                      rq_ref, *, np_: int, n_planes: int):
+    """The reference parity iteration (qr_eigenvalues.hpp:69-94) on
+    device: full Householder QR of H each sweep, H := R Q, stop when
+    max |H(i,i-1)| <= tol * (1 + ||H||_F). Complex split planes."""
+    n = scal_i_ref[0]
+    max_it = scal_i_ref[1]
+    tol = scal_f_ref[0]
+    HI = jax.lax.Precision.HIGHEST
+
+    for pp in range(n_planes):
+        h_ref[pp] = in_ref[pp]
+
+    row_sq = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    col_sq = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    eye = (row_sq == col_sq).astype(jnp.float32)
+    sub_m = (row_sq == col_sq + 1).astype(jnp.float32)
+
+    def cond(c):
+        it, converged, maxsub = c
+        return jnp.logical_and(it < max_it, jnp.logical_not(converged))
+
+    def body(c):
+        it, converged, _ = c
+        for pp in range(n_planes):
+            rq_ref[pp] = h_ref[pp]
+        rq_ref[n_planes] = eye
+        if n_planes == 2:
+            rq_ref[3] = jnp.zeros((np_, np_), jnp.float32)
+
+        def dstep(k, carry):
+            _hh_qr_step(rq_ref, k, np_, n_planes)
+            return carry
+
+        jax.lax.fori_loop(0, n, dstep, 0)
+
+        # H := R Q (qr_eigenvalues.hpp:74), staged per product
+        if n_planes == 2:
+            h_ref[0] = jnp.dot(rq_ref[0], rq_ref[2],
+                               preferred_element_type=jnp.float32, precision=HI)
+            h_ref[0] = h_ref[0] - jnp.dot(rq_ref[1], rq_ref[3],
+                                          preferred_element_type=jnp.float32,
+                                          precision=HI)
+            h_ref[1] = jnp.dot(rq_ref[0], rq_ref[3],
+                               preferred_element_type=jnp.float32, precision=HI)
+            h_ref[1] = h_ref[1] + jnp.dot(rq_ref[1], rq_ref[2],
+                                          preferred_element_type=jnp.float32,
+                                          precision=HI)
+            mag2 = h_ref[0] * h_ref[0] + h_ref[1] * h_ref[1]
+        else:
+            h_ref[0] = jnp.dot(rq_ref[0], rq_ref[1],
+                               preferred_element_type=jnp.float32, precision=HI)
+            mag2 = h_ref[0] * h_ref[0]
+        maxsub = jnp.sqrt(jnp.max(mag2 * sub_m))
+        fro = jnp.sqrt(jnp.sum(mag2))
+        conv = maxsub <= tol * (1.0 + fro)
+        return it + 1, conv, maxsub
+
+    it, converged, maxsub = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.asarray(False),
+                     jnp.zeros((), jnp.float32)))
+    out_ref[0] = it.astype(jnp.float32)
+    out_ref[1] = converged.astype(jnp.float32)
+    out_ref[2] = maxsub
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qr_parity_planes(planes: jax.Array, n: jax.Array, max_it: jax.Array,
+                     tol: jax.Array, *, interpret: bool = False):
+    """Reference-parity unshifted QR iteration on Hessenberg split planes.
+
+    Returns ``(h_planes, it, converged, last_maxsub)``; the caller applies
+    the reference's iteration-count quirk (iterations = it when converged
+    else max_iterations + 1, qr_eigenvalues.hpp:69,104).
+    """
+    n_planes, m, _ = planes.shape
+    np_ = max(_round_up(m, LANES), LANES)
+    p = jnp.pad(planes.astype(jnp.float32),
+                ((0, 0), (0, np_ - m), (0, np_ - m)))
+    h_out, scal = pl.pallas_call(
+        functools.partial(_qr_parity_kernel, np_=np_, n_planes=n_planes),
+        out_shape=(jax.ShapeDtypeStruct((n_planes, np_, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((3,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((2 * n_planes, np_, np_), jnp.float32)],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(n, jnp.int32),
+                 jnp.asarray(max_it, jnp.int32)]),
+      jnp.asarray(tol, jnp.float32).reshape(1), p)
+    return (h_out[:, :m, :m], scal[0].astype(jnp.int32),
+            scal[1] > 0.5, scal[2])
+
+
+def qr_parity_pallas(a: np.ndarray, max_iterations: int, tol: float, *,
+                     interpret: bool = False):
+    """Reference-parity QR eigenvalues fully on-device: Pallas Hessenberg
+    + Pallas unshifted full-Householder sweeps. Returns (eigenvalues
+    complex64, iterations, converged, last_maxsub) with the reference's
+    iteration-count semantics."""
+    a = np.asarray(a)
+    n = a.shape[0]
+    if np.iscomplexobj(a):
+        planes = np.stack([a.real, a.imag]).astype(np.float32)
+    else:
+        planes = a.astype(np.float32)[None]   # real path: 1 plane
+    h = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret)
+    h2, it, conv, maxsub = qr_parity_planes(h, n, max_iterations, tol,
+                                            interpret=interpret)
+    e = np.asarray(jax.device_get(h2))
+    ei = np.diagonal(e[1]) if e.shape[0] == 2 else 0.0
+    eigs = (np.diagonal(e[0]) + 1j * ei)[:n].astype(np.complex64)
+    it = int(it)
+    conv = bool(conv)
+    iterations = it if conv else max_iterations + 1
+    return eigs, iterations, conv, float(maxsub)

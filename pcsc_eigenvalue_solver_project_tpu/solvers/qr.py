@@ -67,12 +67,30 @@ def qr_decompose_dense(a: jax.Array):
 
 
 def qr_decompose(M: AbstractMatrix, *, dtype=None):
-    """Wrapper with the reference's dense-only and scalar-type guards."""
-    from .qr_eigenvalues import _dense_qr_device
+    """Wrapper with the reference's dense-only and scalar-type guards.
+
+    TPU-resident for square f32/c64 inputs via the Pallas kernel
+    (ops/pallas/qr_kernels.py); rectangular, f64/c128, and CPU runs keep
+    the XLA column loop."""
+    from .qr_eigenvalues import _dense_qr_device, _use_pallas_qr
     if not M.is_dense:
         raise ValueError("qr_decompose: only dense matrices are supported")
     if dtype is not None:
         check_scalar_type(M.dtype, dtype, "qr_decompose")
     import numpy as np
+    a = np.asarray(M.as_dense())
+    m, n = a.shape
+    if (jax.default_backend() != "cpu" and m == n and m > 0
+            and _use_pallas_qr(m, M.dtype)):
+        from ..ops.pallas.qr_kernels import qr_decompose_planes
+        if np.iscomplexobj(a):
+            planes = np.stack([a.real, a.imag]).astype(np.float32)
+            R, Q = qr_decompose_planes(jnp.asarray(planes), m)
+            R, Q = np.asarray(R), np.asarray(Q)
+            with _dense_qr_device():
+                return (jnp.asarray((Q[0] + 1j * Q[1]).astype(np.complex64)),
+                        jnp.asarray((R[0] + 1j * R[1]).astype(np.complex64)))
+        R, Q = qr_decompose_planes(jnp.asarray(a.astype(np.float32)[None]), m)
+        return Q[0], R[0]
     with _dense_qr_device():
-        return qr_decompose_dense(jnp.asarray(np.asarray(M.as_dense())))
+        return qr_decompose_dense(jnp.asarray(a))

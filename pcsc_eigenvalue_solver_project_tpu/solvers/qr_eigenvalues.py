@@ -399,19 +399,24 @@ def _qr_eigenvalues_accel_real(H0: jax.Array, max_sweeps: jax.Array,
 # ---------------------------------------------------------------------------
 
 # Largest n the Pallas QR kernels take before their VMEM working set
-# (two split planes + transpose temporaries) exceeds the ~16 MB budget.
-_PALLAS_QR_MAX_N = 1024
+# (split planes + transpose/matmul temporaries) exceeds the ~16 MB budget.
+_PALLAS_QR_MAX_N = 768
+# The parity kernel additionally carries R and Q scratch planes.
+_PALLAS_QR_PARITY_MAX_N = {1: 512, 2: 256}
 
 
-def _use_pallas_qr(n: int, dtype) -> bool:
+def _use_pallas_qr(n: int, dtype, *, parity: bool = False) -> bool:
     """True when the dense QR stack should run via the Pallas kernels:
     accelerator backend, f32-precision dtype, and the planes fit VMEM.
     (f64/c128 inputs keep the XLA path — the TPU has no native f64.)"""
     if jax.default_backend() == "cpu":
         return False
-    return (n <= _PALLAS_QR_MAX_N
-            and np.dtype(dtype).itemsize <= (8 if np.dtype(dtype).kind == "c"
-                                             else 4))
+    kind = np.dtype(dtype).kind
+    if np.dtype(dtype).itemsize > (8 if kind == "c" else 4):
+        return False
+    cap = _PALLAS_QR_PARITY_MAX_N[2 if kind == "c" else 1] if parity \
+        else _PALLAS_QR_MAX_N
+    return n <= cap
 
 
 def _dense_qr_device():
@@ -463,6 +468,18 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
             np.asarray(M.as_dense()), int(opts.max_iterations), float(dtol))
         return QRResult(eigenvalues=eigs,
                         iterations=jnp.asarray(sweeps, jnp.int32),
+                        converged=jnp.asarray(conv))
+    if mode == "parity" and n > 0 and _use_pallas_qr(n, M.dtype, parity=True):
+        # TPU-resident reference-parity iteration (unshifted full
+        # Householder sweeps, qr_eigenvalues.hpp:69-94) via the Pallas
+        # parity kernel; CPU runs keep the XLA path (used by the f64
+        # reference-parity tests).
+        from ..ops.pallas.qr_kernels import qr_parity_pallas
+        eigs, iterations, conv, _ = qr_parity_pallas(
+            np.asarray(M.as_dense()), int(opts.max_iterations),
+            float(opts.tolerance))
+        return QRResult(eigenvalues=eigs,
+                        iterations=jnp.asarray(iterations, jnp.int32),
                         converged=jnp.asarray(conv))
 
     with _dense_qr_device():

@@ -119,3 +119,69 @@ class TestQREigKernel:
                                                    interpret=True)
         assert sweeps == 2
         assert not conv
+
+
+class TestQRDecomposeKernel:
+    def test_real_qr(self):
+        rng = np.random.default_rng(0)
+        n = 10
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            qr_decompose_planes)
+        R, Q = qr_decompose_planes(jnp.asarray(a[None]), n, interpret=True)
+        R, Q = np.asarray(R)[0], np.asarray(Q)[0]
+        np.testing.assert_allclose(Q @ R, a, atol=5e-6 * n)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(n), atol=5e-6 * n)
+        assert np.abs(np.tril(R, -1)).max() < 5e-6 * n
+
+    def test_complex_qr(self):
+        rng = np.random.default_rng(1)
+        n = 8
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            qr_decompose_planes)
+        planes = np.stack([a.real, a.imag]).astype(np.float32)
+        Rp, Qp = qr_decompose_planes(jnp.asarray(planes), n, interpret=True)
+        Rc = np.asarray(Rp)[0] + 1j * np.asarray(Rp)[1]
+        Qc = np.asarray(Qp)[0] + 1j * np.asarray(Qp)[1]
+        np.testing.assert_allclose(Qc @ Rc, a, atol=5e-6 * n)
+        np.testing.assert_allclose(Qc.conj().T @ Qc, np.eye(n), atol=5e-6 * n)
+
+
+class TestQRParityKernel:
+    def test_symmetric_converges(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            qr_parity_pallas)
+        rng = np.random.default_rng(0)
+        d = 0.8 ** np.arange(8)
+        Qo, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+        sym = ((Qo * d) @ Qo.T).astype(np.float32)
+        eigs, it, conv, maxsub = qr_parity_pallas(sym, 2000, 1e-5,
+                                                  interpret=True)
+        assert conv
+        np.testing.assert_allclose(np.sort(eigs.real), np.sort(d), atol=1e-4)
+
+    def test_nonconvergence_reports_max_plus_one(self):
+        # reference quirk: iterations == max_iterations + 1 on
+        # non-convergence (qr_eigenvalues.hpp:69,104)
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            qr_parity_pallas)
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((6, 6)).astype(np.float32)
+        eigs, it, conv, maxsub = qr_parity_pallas(a, 3, 1e-12, interpret=True)
+        assert not conv
+        assert it == 4
+
+    def test_complex_planes(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            qr_parity_pallas)
+        rng = np.random.default_rng(3)
+        n = 6
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        eigs, it, conv, maxsub = qr_parity_pallas(a, 4000, 1e-5,
+                                                  interpret=True)
+        assert conv
+        assert _match_err(np.linalg.eigvals(a.astype(np.complex128)),
+                          eigs) < 1e-3
