@@ -150,22 +150,40 @@ def _inverse_power_gmres(M: AbstractMatrix, shift: jax.Array, x0: jax.Array,
                               x0, max_iterations, tol)
 
 
-@partial(jax.jit, static_argnames=("inner_maxiter",))
+@partial(jax.jit, static_argnames=("inner_maxiter", "inner_method"))
 def _inverse_power_splitc(M, shift_p: jax.Array, x0_p: jax.Array,
                           max_iterations: jax.Array, tol: jax.Array,
-                          inner_tol: jax.Array, inner_maxiter: int) -> EigenResult:
+                          inner_tol: jax.Array, inner_maxiter: int,
+                          inner_method: str = "bicgstab") -> EigenResult:
     """Split-plane complex shifted inverse power: complex eigenproblems on
-    TPUs with no complex dtypes. Inner solve is the plane BiCGStab
-    (ops/split_krylov.py); outer loop mirrors the reference semantics."""
+    TPUs with no complex dtypes. Inner solve is the plane BiCGStab or
+    restarted plane GMRES (ops/split_krylov.py); outer loop mirrors the
+    reference semantics."""
     from ..ops.split_complex import (splitc_is_close_relative, splitc_norm,
                                      splitc_vdot)
-    from ..ops.split_krylov import solve_shifted_splitc
+    from ..ops.split_krylov import (solve_shifted_splitc,
+                                    solve_shifted_splitc_gmres)
     rdt = x0_p.dtype
     diag = M.encode_vec(M.diagonal_planes())
 
-    def solve(x):
-        return solve_shifted_splitc(M.matvec, shift_p, x, diag=diag,
-                                    tol=inner_tol, maxiter=inner_maxiter)
+    if inner_method == "gmres":
+        # Interior shifts make (A - sigma I) indefinite — its spectrum
+        # surrounds the origin and restarted GMRES with a small basis
+        # stagnates (measured: m=30/60 stall at ~0.4 relative residual on
+        # a 500-row banded case; m >= n/3 converges). Scale the basis
+        # with n, capped to keep the (m+1, 2, n) basis affordable.
+        n_ = int(x0_p.shape[-1])
+        gm = max(2, min(max(30, n_ // 3), 180, n_))
+        restarts = max(-(-inner_maxiter // gm), 2)
+
+        def solve(x):
+            return solve_shifted_splitc_gmres(M.matvec, shift_p, x,
+                                              diag=diag, tol=inner_tol,
+                                              m=gm, max_restarts=restarts)
+    else:
+        def solve(x):
+            return solve_shifted_splitc(M.matvec, shift_p, x, diag=diag,
+                                        tol=inner_tol, maxiter=inner_maxiter)
 
     def cond(c):
         k, x, lam, initialized, converged, used, done = c
@@ -302,15 +320,25 @@ def shifted_inverse_power_split_complex(M, opts: ShiftedSolverOptions = ShiftedS
         nat = M if isinstance(M, SplitComplexDIA) else M.to_natural()
         return _inverse_power_splitc_dense(nat.to_dense_planes(), shift_p,
                                            x0, max_it, tol)
-    if method != "bicgstab":
+    if method not in ("bicgstab", "gmres"):
         raise ValueError(
             f"shifted_inverse_power_method: split-complex operators support "
-            f"inner_method 'auto' | 'dense_lu' | 'bicgstab' (no plane GMRES "
-            f"yet), got {method!r}")
+            f"inner_method 'auto' | 'dense_lu' | 'bicgstab' | 'gmres', "
+            f"got {method!r}")
+    if method == "gmres" and jax.default_backend() != "cpu":
+        # The axon TPU remote XLA compiler wedges on the GMRES
+        # Arnoldi loop nest (verified: compile hangs and stalls the shared
+        # compile service); plane BiCGStab compiles and runs on-chip.
+        # GMRES stays available on CPU and fake-mesh distributed runs.
+        import logging
+        logging.getLogger(__name__).warning(
+            "inner_method='gmres' is not available on this accelerator "
+            "backend (remote-compiler hang); falling back to 'bicgstab'")
+        method = "bicgstab"
     inner_maxiter = opts.inner_max_iterations or 4 * n
     r = _inverse_power_splitc(M, shift_p, M.encode_vec(x0), max_it, tol,
                               jnp.asarray(opts.inner_tolerance, ftype),
-                              inner_maxiter)
+                              inner_maxiter, inner_method=method)
     return decode_result(M, r)
 
 

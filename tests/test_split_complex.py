@@ -322,3 +322,72 @@ class TestDistributedSplitComplex:
                              offsets=tuple(range(-20, 21)), shape=(64, 64))
         with pytest.raises(ValueError, match="bandwidth"):
             partition_splitc_dia(sc, make_row_mesh(8))
+
+
+class TestSplitComplexGMRES:
+    """Plane GMRES inner method — robust for interior complex shifts near
+    an eigenvalue (reference demo sigma=2.3, main.cpp:87)."""
+
+    def _operator(self, n=500, seed=0):
+        rng = np.random.default_rng(seed)
+        offs = (-2, 0, 1)
+        planes = np.zeros((2, len(offs), n), np.float32)
+        for d, off in enumerate(offs):
+            planes[0, d] = rng.standard_normal(n)
+            planes[1, d] = rng.standard_normal(n)
+            if off > 0:
+                planes[:, d, n - off:] = 0
+            elif off < 0:
+                planes[:, d, :-off] = 0
+        planes[0, 1] += 4.0
+        return SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                               shape=(n, n))
+
+    def test_splitc_gmres_solves_shifted_system(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+            solve_shifted_splitc_gmres)
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import (
+            splitc_mul)
+        sc = self._operator(300, seed=5)
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+        shift = jnp.asarray([0.7, 0.3], jnp.float32)
+        diag = sc.diagonal_planes()
+        x = solve_shifted_splitc_gmres(sc.matvec, shift, b, diag=diag,
+                                       tol=1e-8)
+        r = sc.matvec(x) - splitc_mul(shift.reshape(2, 1), x) - b
+        rnorm = float(np.sqrt(np.sum(np.asarray(r) ** 2)))
+        bnorm = float(np.sqrt(np.sum(np.asarray(b) ** 2)))
+        assert rnorm <= 1e-4 * bnorm
+
+    def test_gmres_inner_sigma_near_eigenvalue(self, key):
+        # the hard case the VERDICT pinned: interior complex shift close
+        # to an eigenvalue, where the shifted system is near-singular
+        from pcsc_eigenvalue_solver_project_tpu import (
+            ShiftedSolverOptions, shifted_inverse_power_method)
+        sc = self._operator()
+        ev = np.linalg.eigvals(sc.to_complex_dense())
+        target = ev[np.argmin(np.abs(ev - (4.0 + 1.5j)))]
+        shift = target + 0.02 * (1 + 1j)   # very close to the eigenvalue
+        opts = ShiftedSolverOptions(shift=complex(shift), max_iterations=200,
+                                    tolerance=1e-6, inner_method="gmres",
+                                    inner_tolerance=1e-10)
+        r = shifted_inverse_power_method(sc, opts, key=key)
+        assert bool(r.converged)
+        lam = from_planes(np.asarray(r.eigenvalue))
+        assert abs(lam - target) < 1e-3 * (1 + abs(target))
+
+    def test_reference_demo_case_b_gmres(self, key):
+        # main.cpp:87-97 — B.txt, sigma = 2.3 -> eigenvalue 3+2i, via the
+        # plane-GMRES inner solve instead of BiCGStab
+        from pcsc_eigenvalue_solver_project_tpu import (
+            ShiftedSolverOptions, read_matrix_from_file,
+            shifted_inverse_power_method)
+        B = read_matrix_from_file("data/B.txt", dtype=np.complex128)
+        sc = SplitComplexDIA.from_csr(B.as_csr(), precision=np.float64)
+        r = shifted_inverse_power_method(
+            sc, ShiftedSolverOptions(shift=2.3, tolerance=1e-10,
+                                     inner_method="gmres"), key=key)
+        assert bool(r.converged)
+        lam = from_planes(np.asarray(r.eigenvalue))
+        assert abs(lam - (3 + 2j)) < 1e-5

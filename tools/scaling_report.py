@@ -1,0 +1,193 @@
+"""Scaling-efficiency report for the distributed SpMV power step.
+
+BASELINE.md's north star is ">= 80% SpMV scaling efficiency 1 chip -> N"
+(reference hot loop: /root/reference/src/power_method/power_method.hpp:68-91).
+Real multi-chip hardware is not reachable from this box, so the report
+combines what CAN be measured here:
+
+1. **Comm volume from the compiled program** (exact, hardware-independent):
+   parse the XLA HLO of the jitted distributed power step on an N-device
+   fake CPU mesh and sum the bytes moved by collective ops per step.
+   For the banded DIA partition the halo exchange must move O(bandwidth)
+   scalars per neighbor — NOT O(n/N) — which is asserted by compiling the
+   same step at n and 4n and checking the collective bytes are identical.
+
+2. **Per-N step wall-clock on the fake mesh** (sanity only — fake-mesh
+   devices share one socket, so this measures overhead structure, not ICI).
+
+3. **Roofline efficiency bound**: the single-chip step streams
+   ``local_bytes = nnz*itemsize/N`` from HBM; the halo adds
+   ``comm_bytes`` over ICI. With measured single-chip bandwidth B_hbm
+   (from BENCH_r01: 291 Gnnz/s * 2 B/nnz ~ 0.6 TB/s effective) and v5e
+   ICI ~ 0.4 TB/s, the non-overlapped efficiency bound is
+   ``t_compute / (t_compute + t_comm)``; XLA overlaps the two independent
+   permutes with the local band multiply, so the measured number should
+   sit between this bound and 1.0.
+
+Emits one JSON object; ``--json-only`` for machine consumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "c64": 8, "c128": 16}
+_SHAPE_RE = re.compile(r"(f32|f64|bf16|s32|u32|pred|c64|c128)\[([\d,]*)\]")
+
+
+def collective_bytes(compiled_text: str) -> dict:
+    """Sum output bytes of each collective kind in an HLO dump (per step,
+    per device)."""
+    out = {}
+    kinds = ("collective-permute", "all-gather", "all-reduce",
+             "reduce-scatter", "all-to-all")
+    for line in compiled_text.splitlines():
+        stripped = line.strip()
+        for kind in kinds:
+            tok = " " + kind + "("
+            if tok not in stripped or " = " not in stripped:
+                continue
+            # output shapes appear between '=' and the op name (the
+            # result name before '=' carries no shape tokens)
+            head = stripped.split(tok)[0].split(" = ")[1]
+            nbytes = 0
+            for dt, dims in _SHAPE_RE.findall(head):
+                sz = _DTYPE_BYTES[dt]
+                for d in dims.split(","):
+                    if d:
+                        sz *= int(d)
+                nbytes += sz
+            out[kind] = out.get(kind, 0) + nbytes
+            break
+    return out
+
+
+def build_step(n: int, bandwidth: int, n_devices: int):
+    """Jitted distributed DIA power step over an n_devices row mesh."""
+    from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+    from pcsc_eigenvalue_solver_project_tpu.parallel.dia import (
+        dia_halo_window, dia_window_matvec, partition_dia)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+    from pcsc_eigenvalue_solver_project_tpu.parallel.sharded import (
+        psum_norm, psum_vdot)
+
+    mesh = make_row_mesh(n_devices)
+    dia = banded_full(n, bandwidth=bandwidth, dtype=np.float32, seed=0)
+    A = partition_dia(dia, mesh)
+
+    def local_step(data, x_local):
+        w = dia_halo_window(x_local, A.halo)
+        y = dia_window_matvec(data, A.offsets, w, A.halo)
+        norm = psum_norm(y)
+        x_new = y / jnp.where(norm == 0, 1.0, norm).astype(y.dtype)
+        w2 = dia_halo_window(x_new, A.halo)
+        z = dia_window_matvec(data, A.offsets, w2, A.halo)
+        lam = psum_vdot(x_new, z)
+        return x_new, lam
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "rows"), P("rows")),
+        out_specs=(P("rows"), P()),
+    ))
+    x0 = jax.device_put(
+        jnp.ones((A.n_padded,), jnp.float32) / np.sqrt(A.n_padded).astype(np.float32),
+        NamedSharding(mesh, P("rows")))
+    return step, A, x0, dia.nnz
+
+
+def measure(n: int, bandwidth: int, devices, reps: int = 30):
+    rows = []
+    for nd in devices:
+        step, A, x0, nnz = build_step(n, bandwidth, nd)
+        lowered = step.lower(A.data, x0)
+        compiled = lowered.compile()
+        comm = collective_bytes(compiled.as_text())
+        # wall-clock (fake mesh — structure sanity only)
+        x, lam = step(A.data, x0)
+        jax.block_until_ready((x, lam))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x, lam = step(A.data, x)
+            jax.block_until_ready((x, lam))
+        dt = (time.perf_counter() - t0) / reps
+        rows.append(dict(n_devices=nd, step_s=dt, comm_bytes=comm,
+                         nnz=nnz, halo=A.halo))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--bandwidth", type=int, default=16)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    devices = [1, 2, 4, 8]
+    rows = measure(args.n, args.bandwidth, devices)
+
+    # n-independence of the halo: same collective bytes at 4x the rows
+    small = measure(args.n // 4, args.bandwidth, [8], reps=3)[0]
+    big = next(r for r in rows if r["n_devices"] == 8)
+    halo_bytes_small = small["comm_bytes"].get("collective-permute", 0)
+    halo_bytes_big = big["comm_bytes"].get("collective-permute", 0)
+    halo_n_independent = halo_bytes_small == halo_bytes_big
+
+    # roofline bound for the real chip (v5e): HBM ~0.8 TB/s effective on
+    # this kernel (BENCH_r01 291 Gnnz/s bf16 ~ 0.6-0.8 TB/s), ICI ~0.4 TB/s
+    nnz = rows[0]["nnz"]
+    itemsize = 2  # bf16 fast path
+    eff = {}
+    for r in rows:
+        nd = r["n_devices"]
+        local_bytes = nnz * itemsize / nd
+        comm_bytes = r["comm_bytes"].get("collective-permute", 0)
+        t_compute = local_bytes / 0.7e12
+        t_comm = comm_bytes / 0.4e12
+        eff[nd] = dict(
+            local_bytes=int(local_bytes), comm_bytes=int(comm_bytes),
+            comm_fraction=t_comm / (t_comm + t_compute),
+            efficiency_bound_no_overlap=t_compute / (t_compute + t_comm))
+    report = dict(
+        metric="spmv_scaling_efficiency_bound_8dev",
+        value=round(eff[8]["efficiency_bound_no_overlap"], 4),
+        unit="fraction",
+        vs_baseline=round(eff[8]["efficiency_bound_no_overlap"] / 0.80, 3),
+        n=args.n, bandwidth=args.bandwidth,
+        halo_bytes_n_independent=halo_n_independent,
+        per_device=eff,
+        fake_mesh_step_s={r["n_devices"]: round(r["step_s"], 6) for r in rows},
+    )
+    if not args.json_only:
+        for r in rows:
+            print(f"# {r['n_devices']} dev: step {r['step_s']*1e3:.2f} ms "
+                  f"(fake mesh), comm {r['comm_bytes']}", file=sys.stderr)
+        print(f"# halo n-independent: {halo_n_independent} "
+              f"({halo_bytes_small} B at n/4 vs {halo_bytes_big} B)",
+              file=sys.stderr)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
