@@ -11,6 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def _seeds(n, fast=2):
+    """First ``fast`` seeds run by default; the rest are marked slow."""
+    return [pytest.param(i, marks=[] if i < fast else [pytest.mark.slow])
+            for i in range(n)]
+
 from pcsc_eigenvalue_solver_project_tpu import (
     DenseMatrix, QROptions, SolverOptions, SparseCSR, power_method,
     qr_eigenvalues, read_matrix_from_file, solve_shifted, write_matrix_to_file)
@@ -18,7 +24,7 @@ from pcsc_eigenvalue_solver_project_tpu.matrix.dia import SparseDIA
 from tests.test_qr import spectrum_distance
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", _seeds(8))
 def test_io_roundtrip_random(seed, tmp_path):
     rng = np.random.default_rng(seed)
     n, m = rng.integers(1, 12, 2)
@@ -38,7 +44,7 @@ def test_io_roundtrip_random(seed, tmp_path):
                                   np.asarray(src.to_dense()))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_formats_agree_on_matvec(seed):
     rng = np.random.default_rng(100 + seed)
     n = int(rng.integers(4, 40))
@@ -55,7 +61,7 @@ def test_formats_agree_on_matvec(seed):
                                    rtol=1e-11, atol=1e-11)
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", _seeds(5))
 def test_power_satisfies_eigen_residual(seed):
     rng = np.random.default_rng(200 + seed)
     n = int(rng.integers(3, 20))
@@ -70,7 +76,7 @@ def test_power_satisfies_eigen_residual(seed):
         assert np.linalg.norm(a @ v - lam * v) < 1e-4 * max(abs(lam), 1)
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", _seeds(5))
 def test_solve_shifted_residual(seed):
     rng = np.random.default_rng(300 + seed)
     n = int(rng.integers(2, 30))
@@ -81,7 +87,7 @@ def test_solve_shifted_residual(seed):
     assert np.linalg.norm((a - shift * np.eye(n)) @ x - b) < 1e-8
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_qr_modes_agree(seed):
     rng = np.random.default_rng(400 + seed)
     n = int(rng.integers(3, 12))
@@ -93,7 +99,7 @@ def test_qr_modes_agree(seed):
     assert spectrum_distance(np.asarray(acc.eigenvalues), exact) < 1e-7
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_interleaved_matvec_agrees_with_xla(seed):
     """Random band structure / size / tile: il kernel (interpret) == the
     shifted-pad XLA oracle."""
@@ -126,7 +132,7 @@ def test_interleaved_matvec_agrees_with_xla(seed):
     np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-6)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_splitc_bicgstab_residual_on_dominant_systems(seed):
     """Random diagonally-dominant complex banded system: the plane
     BiCGStab must reach the requested residual."""

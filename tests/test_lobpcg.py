@@ -57,6 +57,7 @@ class TestLOBPCG:
         np.testing.assert_allclose(np.asarray(r.eigenvalues),
                                    np.sort(evB)[:4], atol=1e-5)
 
+    @pytest.mark.slow
     def test_interleaved_f32_noise_floor(self, operator, exact, key):
         # f32 converges to its storage noise floor (~1e-3 relative)
         A32 = SparseDIA(data=operator.data.astype(jnp.float32),
@@ -68,13 +69,18 @@ class TestLOBPCG:
         np.testing.assert_allclose(np.asarray(r.eigenvalues),
                                    np.sort(exact)[::-1][:4], rtol=5e-3)
 
-    def test_dense_path(self, operator, exact, key):
-        D = es.DenseMatrix.from_array(np.asarray(operator.to_dense()))
+    def test_dense_path(self, key):
+        # smaller operator than the module fixture: the dense path runs
+        # O(n^2) matvecs per sweep and only the DenseMatrix dispatch is
+        # under test here
+        op = sym_banded(600, 3, 0, [30, 25, 21, 18])
+        exact_small = np.linalg.eigvalsh(np.asarray(op.to_dense()))
+        D = es.DenseMatrix.from_array(np.asarray(op.to_dense()))
         r = es.lobpcg_eigenvalues(D, k=4, which="LA", key=key,
                                   opts=es.SolverOptions(max_iterations=100,
                                                         tolerance=1e-9))
         np.testing.assert_allclose(np.asarray(r.eigenvalues),
-                                   np.sort(exact)[::-1][:4], rtol=1e-6)
+                                   np.sort(exact_small)[::-1][:4], rtol=1e-6)
 
     def test_clustered_bottom_reports_unconverged(self, key):
         # unpreconditioned SA on the 1-D laplacian's 1e-6-clustered bottom

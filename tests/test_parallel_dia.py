@@ -34,6 +34,7 @@ class TestPartitionedDIA:
         np.testing.assert_allclose(y[:n], expected, rtol=1e-13)
         np.testing.assert_allclose(y[n:], 0.0)
 
+    @pytest.mark.slow
     def test_wide_band(self, mesh):
         # bandwidth close to rows_per_shard exercises deep halos
         n = 128

@@ -51,6 +51,7 @@ class TestPartitionedGELL:
         # padding rows produce zeros
         np.testing.assert_array_equal(np.asarray(y)[n:], 0.0)
 
+    @pytest.mark.slow
     def test_spill_padding_harmless(self, mesh):
         # concentrate >128 unique entries in one lane bucket of shard 0's
         # first tile -> slot overflow -> uneven per-shard spills, padded tails

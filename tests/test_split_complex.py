@@ -354,7 +354,7 @@ class TestSplitComplexGMRES:
         shift = jnp.asarray([0.7, 0.3], jnp.float32)
         diag = sc.diagonal_planes()
         x = solve_shifted_splitc_gmres(sc.matvec, shift, b, diag=diag,
-                                       tol=1e-8)
+                                       tol=1e-6, m=60, max_restarts=16)
         r = sc.matvec(x) - splitc_mul(shift.reshape(2, 1), x) - b
         rnorm = float(np.sqrt(np.sum(np.asarray(r) ** 2)))
         bnorm = float(np.sqrt(np.sum(np.asarray(b) ** 2)))
@@ -365,7 +365,7 @@ class TestSplitComplexGMRES:
         # to an eigenvalue, where the shifted system is near-singular
         from pcsc_eigenvalue_solver_project_tpu import (
             ShiftedSolverOptions, shifted_inverse_power_method)
-        sc = self._operator()
+        sc = self._operator(320, seed=0)
         ev = np.linalg.eigvals(sc.to_complex_dense())
         target = ev[np.argmin(np.abs(ev - (4.0 + 1.5j)))]
         shift = target + 0.02 * (1 + 1j)   # very close to the eigenvalue
