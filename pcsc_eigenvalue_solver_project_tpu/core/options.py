@@ -66,8 +66,14 @@ class QROptions(SolverOptions):
     mode: str = "parity"  # "parity" | "accelerated"
     deflation_tolerance: Optional[float] = None  # accelerated mode; default: tolerance
     sweeps_per_check: int = 8  # accelerated mode: device sweeps between host checks
+    compute_vectors: bool = False  # accelerated mode: accumulate the Schur
+    # similarity and return eigenvectors (superset of the reference)
 
     def __post_init__(self):
         super().__post_init__()
         if self.mode not in ("parity", "accelerated"):
             raise ValueError(f"unknown QR mode: {self.mode!r}")
+        if self.compute_vectors and self.mode != "accelerated":
+            raise ValueError(
+                "compute_vectors requires mode='accelerated' (the parity "
+                "algorithm, like the reference, produces eigenvalues only)")

@@ -49,11 +49,17 @@ class EigenResult:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QRResult:
-    """Result of QR-based eigenvalue solvers (no eigenvectors, like the ref)."""
+    """Result of QR-based eigenvalue solvers.
+
+    ``eigenvectors`` is ``None`` by default — the reference's QRResult
+    carries none (qr_result.hpp:23-44) — and an (n, n) complex matrix
+    (column i pairs with ``eigenvalues[i]``) when the solver ran with
+    ``QROptions(compute_vectors=True)`` (a superset capability)."""
 
     eigenvalues: jax.Array
     iterations: jax.Array  # int32 scalar
     converged: jax.Array  # bool scalar
+    eigenvectors: object = None  # Optional[(n, n) complex array]
 
     def __repr__(self):
         try:

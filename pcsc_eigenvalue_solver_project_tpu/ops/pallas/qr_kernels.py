@@ -52,7 +52,8 @@ def _round_up(x: int, m: int) -> int:
 # kernel 1: Hessenberg reduction in split planes
 # ---------------------------------------------------------------------------
 
-def _hessenberg_kernel(scal_ref, in_ref, out_ref, *, n_planes: int, np_: int):
+def _hessenberg_kernel(scal_ref, in_ref, out_ref, q_ref=None, *,
+                       n_planes: int, np_: int, accumulate_q: bool = False):
     """Householder Hessenberg reduction, matvec formulation.
 
     All index-dependent selection is mask arithmetic; each column does
@@ -63,6 +64,13 @@ def _hessenberg_kernel(scal_ref, in_ref, out_ref, *, n_planes: int, np_: int):
     n = scal_ref[0]
     for p in range(n_planes):
         out_ref[p] = in_ref[p]
+    if accumulate_q:
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+               ).astype(jnp.float32)
+        q_ref[0] = eye
+        if n_planes == 2:
+            q_ref[1] = jnp.zeros((np_, np_), jnp.float32)
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
     one = jnp.ones((), jnp.float32)
@@ -176,24 +184,69 @@ def _hessenberg_kernel(scal_ref, in_ref, out_ref, *, n_planes: int, np_: int):
                 ur, vr.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
+        if accumulate_q:
+            # Q <- Q (I - factor v v^H): the accumulated similarity with
+            # A = Q H Q^H
+            if n_planes == 2:
+                uqr = (jnp.dot(q_ref[0], vr, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                       - jnp.dot(q_ref[1], vi, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+                uqi = (jnp.dot(q_ref[0], vi, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                       + jnp.dot(q_ref[1], vr, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+                q_ref[0] = q_ref[0] - factor * jnp.dot(
+                    uqr, vr.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                q_ref[0] = q_ref[0] - factor * jnp.dot(
+                    uqi, vi.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                q_ref[1] = q_ref[1] - factor * jnp.dot(
+                    uqi, vr.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                q_ref[1] = q_ref[1] + factor * jnp.dot(
+                    uqr, vi.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                uq = jnp.dot(q_ref[0], vr, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                q_ref[0] = q_ref[0] - factor * jnp.dot(
+                    uq, vr.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         return _
 
     jax.lax.fori_loop(0, jnp.maximum(n - 2, 0), body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
 def hessenberg_planes(planes: jax.Array, n: jax.Array, *,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, accumulate_q: bool = False):
     """Hessenberg-reduce split planes.
 
     ``planes``: (n_planes, m, m) f32, n_planes 1 (real) or 2 (re/im);
     the live matrix occupies the top-left (n, n) block (n traced, n <= m,
-    rest must be zero). Returns planes of the same shape.
+    rest must be zero). Returns planes of the same shape — or
+    ``(h_planes, q_planes)`` with ``A = Q H Q^H`` when ``accumulate_q``.
     """
     n_planes, m, _ = planes.shape
     np_ = max(_round_up(m, LANES), LANES)
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
+    if accumulate_q:
+        out, q = pl.pallas_call(
+            functools.partial(_hessenberg_kernel, n_planes=n_planes,
+                              np_=np_, accumulate_q=True),
+            out_shape=(jax.ShapeDtypeStruct((n_planes, np_, np_), jnp.float32),
+                       jax.ShapeDtypeStruct((n_planes, np_, np_), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            input_output_aliases={1: 0},
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), p)
+        return out[:, :m, :m], q[:, :m, :m]
     out = pl.pallas_call(
         functools.partial(_hessenberg_kernel, n_planes=n_planes, np_=np_),
         out_shape=jax.ShapeDtypeStruct((n_planes, np_, np_), jnp.float32),
@@ -237,7 +290,8 @@ def _rot_rows(Wr, Wi, mk, mk1, g00r, g00i, g01r, g01i, conj_mode: bool):
     return Wr, Wi
 
 
-def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref, *, np_: int):
+def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref,
+                   q_ref=None, *, np_: int, accumulate_q: bool = False):
     """Wilkinson-shifted Givens QR with deflation, whole solve in-kernel."""
     n = scal_i_ref[0]
     max_sweeps = scal_i_ref[1]
@@ -257,6 +311,12 @@ def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref, *, np_: int):
     sup_m = (row_sq + 1 == col_sq).astype(jnp.float32)   # picks H[c-1, c]
     one = jnp.ones((), jnp.float32)
     zero = jnp.zeros((), jnp.float32)
+    if accumulate_q:
+        # Q^T lives in q_ref across sweeps (Q only ever takes RIGHT
+        # rotation factors, which are row operations in transpose space);
+        # transposed back to Q after the loop.
+        q_ref[0, pl.ds(0, np_), :] = eye_m
+        q_ref[1, pl.ds(0, np_), :] = jnp.zeros((np_, np_), jnp.float32)
 
     def diag_sub():
         Hr = h_ref[0, pl.ds(0, np_), :]
@@ -378,6 +438,13 @@ def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref, *, np_: int):
                                  g00r, g00i, g01r, g01i, True)
             h_ref[0, pl.ds(base, _WIN), :] = Wr2
             h_ref[1, pl.ds(base, _WIN), :] = Wi2
+            if accumulate_q:
+                Qr = q_ref[0, pl.ds(base, _WIN), :]
+                Qi = q_ref[1, pl.ds(base, _WIN), :]
+                Qr2, Qi2 = _rot_rows(Qr, Qi, mk, mk1,
+                                     g00r, g00i, g01r, g01i, True)
+                q_ref[0, pl.ds(base, _WIN), :] = Qr2
+                q_ref[1, pl.ds(base, _WIN), :] = Qi2
             return carry
 
         jax.lax.fori_loop(lo, hi - 1, right_body, 0)
@@ -395,12 +462,16 @@ def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref, *, np_: int):
         cond, body, (hi0, lo0, jnp.zeros((), jnp.int32)))
     out_ref[0] = sweeps
     out_ref[1] = hi
+    if accumulate_q:
+        q_ref[0, pl.ds(0, np_), :] = q_ref[0, pl.ds(0, np_), :].T
+        q_ref[1, pl.ds(0, np_), :] = q_ref[1, pl.ds(0, np_), :].T
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
 def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
                              max_sweeps: jax.Array, tol: jax.Array, *,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             accumulate_q: bool = False):
     """All eigenvalues of an upper-Hessenberg matrix held in split planes.
 
     ``planes``: (2, m, m) f32 (real input -> zero imaginary plane), live
@@ -414,22 +485,30 @@ def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
     nr = np_ + _WIN
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, nr - m), (0, np_ - m)))
-    h_out, scal = pl.pallas_call(
-        functools.partial(_qr_eig_kernel, np_=np_),
-        out_shape=(jax.ShapeDtypeStruct((2, nr, np_), jnp.float32),
-                   jax.ShapeDtypeStruct((2,), jnp.int32)),
+    out_shape = [jax.ShapeDtypeStruct((2, nr, np_), jnp.float32),
+                 jax.ShapeDtypeStruct((2,), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if accumulate_q:
+        out_shape.append(jax.ShapeDtypeStruct((2, nr, np_), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_qr_eig_kernel, np_=np_, accumulate_q=accumulate_q),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=tuple(out_specs),
         input_output_aliases={2: 0},
         interpret=interpret,
     )(jnp.stack([jnp.asarray(n, jnp.int32),
                  jnp.asarray(max_sweeps, jnp.int32)]),
       jnp.asarray(tol, jnp.float32).reshape(1), p)
+    h_out, scal = outs[0], outs[1]
     eig = jnp.stack([jnp.diagonal(h_out[0, :m, :m]),
                      jnp.diagonal(h_out[1, :m, :m])])
+    if accumulate_q:
+        return eig, scal[0], scal[1], h_out[:, :m, :m], outs[2][:, :m, :m]
     return eig, scal[0], scal[1]
 
 
@@ -438,25 +517,78 @@ def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
 # ---------------------------------------------------------------------------
 
 def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          compute_vectors: bool = False):
     """Accelerated QR eigenvalues of a dense (real or complex) matrix,
     entirely on-device: Pallas Hessenberg + Pallas shifted-Givens QR.
 
     Returns ``(eigenvalues complex64 np.ndarray, sweeps int, converged
-    bool)``. Input may be any square np/jnp array; computation is f32.
+    bool)`` — plus an ``(n, n)`` complex64 eigenvector matrix (column i
+    pairs with ``eigenvalues[i]``) when ``compute_vectors``: both kernels
+    accumulate the unitary similarity (Schur ``A = Q T Q^H``) and the
+    triangular eigenvectors come from host back-substitution.
+    Input may be any square np/jnp array; computation is f32.
     """
     a = np.asarray(a)
     n = a.shape[0]
     if np.iscomplexobj(a):
         planes = np.stack([a.real, a.imag]).astype(np.float32)
     else:
-        planes = np.stack([a, np.zeros_like(a)]).astype(np.float32)
-    h = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret)
-    eig, sweeps, hi = qr_hessenberg_eig_planes(
-        h, n, max_sweeps, tol, interpret=interpret)
+        # real inputs reduce in ONE plane (half the VMEM and flops);
+        # widened to the 2-plane eigenvalue kernel afterwards
+        planes = a.astype(np.float32)[None]
+    if not compute_vectors:
+        h = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret)
+        if h.shape[0] == 1:
+            h = jnp.concatenate([h, jnp.zeros_like(h)])
+        eig, sweeps, hi = qr_hessenberg_eig_planes(
+            h, n, max_sweeps, tol, interpret=interpret)
+        e = np.asarray(jax.device_get(eig))
+        return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
+                int(sweeps), bool(int(hi) <= 1))
+    h, qh = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret,
+                              accumulate_q=True)
+    if h.shape[0] == 1:  # real input: widen to the 2-plane eig kernel
+        h = jnp.concatenate([h, jnp.zeros_like(h)])
+        qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
+    eig, sweeps, hi, t_pl, qs = qr_hessenberg_eig_planes(
+        h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))
-    return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
-            int(sweeps), bool(int(hi) <= 1))
+    eigs = (e[0] + 1j * e[1])[:n].astype(np.complex64)
+    t = np.asarray(jax.device_get(t_pl))
+    T = (t[0] + 1j * t[1])[:n, :n].astype(np.complex128)
+    q = np.asarray(jax.device_get(qs))
+    qhp = np.asarray(jax.device_get(qh))
+    Q = ((qhp[0] + 1j * qhp[1]) @ (q[0] + 1j * q[1]))[:n, :n]
+    V = Q.astype(np.complex128) @ triangular_eigenvectors(T)
+    V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
+                        1e-30)).astype(np.complex64)
+    return eigs, int(sweeps), bool(int(hi) <= 1), V
+
+
+def triangular_eigenvectors(T: np.ndarray) -> np.ndarray:
+    """Eigenvectors of an upper-triangular matrix by back-substitution.
+
+    Column k solves ``(T - T[k,k] I) y = 0`` with ``y[k] = 1`` and zeros
+    below; tiny pivots are perturbed to f32-epsilon scale (the standard
+    LAPACK trick for repeated eigenvalues).
+    """
+    n = T.shape[0]
+    V = np.zeros((n, n), np.complex128)
+    diag = np.diagonal(T)
+    scale = max(np.abs(T).max(), 1.0)
+    eps = np.finfo(np.float32).eps * scale
+    for k in range(n):
+        lam = diag[k]
+        y = np.zeros(n, np.complex128)
+        y[k] = 1.0
+        for i in range(k - 1, -1, -1):
+            denom = diag[i] - lam
+            if abs(denom) < eps:
+                denom = eps
+            y[i] = -(T[i, i + 1:k + 1] @ y[i + 1:k + 1]) / denom
+        V[:, k] = y
+    return V
 
 
 # ---------------------------------------------------------------------------

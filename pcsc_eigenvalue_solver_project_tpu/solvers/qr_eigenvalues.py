@@ -189,6 +189,137 @@ def _qr_eigenvalues_accel(H0: jax.Array, max_sweeps: jax.Array,
                     converged=hi <= 1)
 
 
+def _givens_sweep_q(H, Q, hi, shift):
+    """_givens_sweep that also right-multiplies the accumulated unitary Q
+    by the sweep's rotation product (A = Q H Q^H stays invariant)."""
+    n = H.shape[0]
+    dtype = H.dtype
+    diag_mask = jnp.arange(n) < hi
+    H = H - jnp.diag(jnp.where(diag_mask, shift, jnp.zeros((), dtype)))
+
+    g00_0 = jnp.ones((max(n - 1, 1),), dtype)
+    g01_0 = jnp.zeros((max(n - 1, 1),), dtype)
+
+    def left_body(k, carry):
+        Hc, g00s, g01s = carry
+        a = Hc[k, k]
+        b = Hc[k + 1, k]
+        r = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)
+        zero = r == 0
+        rs = jnp.where(zero, jnp.ones((), r.dtype), r).astype(dtype)
+        g00 = jnp.where(zero, jnp.ones((), dtype), jnp.conj(a) / rs)
+        g01 = jnp.where(zero, jnp.zeros((), dtype), jnp.conj(b) / rs)
+        row_k = Hc[k, :]
+        row_k1 = Hc[k + 1, :]
+        Hc = Hc.at[k, :].set(g00 * row_k + g01 * row_k1)
+        Hc = Hc.at[k + 1, :].set(-jnp.conj(g01) * row_k + jnp.conj(g00) * row_k1)
+        return Hc, g00s.at[k].set(g00), g01s.at[k].set(g01)
+
+    H, g00s, g01s = jax.lax.fori_loop(0, hi - 1, left_body, (H, g00_0, g01_0))
+
+    def right_body(k, carry):
+        Hc, Qc = carry
+        ck = Hc[:, k]
+        ck1 = Hc[:, k + 1]
+        Hc = Hc.at[:, k].set(jnp.conj(g00s[k]) * ck + jnp.conj(g01s[k]) * ck1)
+        Hc = Hc.at[:, k + 1].set(-g01s[k] * ck + g00s[k] * ck1)
+        qk = Qc[:, k]
+        qk1 = Qc[:, k + 1]
+        Qc = Qc.at[:, k].set(jnp.conj(g00s[k]) * qk + jnp.conj(g01s[k]) * qk1)
+        Qc = Qc.at[:, k + 1].set(-g01s[k] * qk + g00s[k] * qk1)
+        return Hc, Qc
+
+    H, Q = jax.lax.fori_loop(0, hi - 1, right_body, (H, Q))
+    return H + jnp.diag(jnp.where(diag_mask, shift, jnp.zeros((), dtype))), Q
+
+
+@jax.jit
+def _qr_eigenvalues_accel_schur(H0: jax.Array, max_sweeps: jax.Array,
+                                tol: jax.Array):
+    """_qr_eigenvalues_accel variant returning the full Schur pieces
+    (T, Q_sweeps, sweeps, hi) for eigenvector extraction."""
+    n = H0.shape[0]
+    dtype = H0.dtype
+    rdt = jnp.dtype(real_dtype_of(dtype))
+    tol = tol.astype(rdt)
+
+    def deflate(state):
+        H, hi = state
+
+        def d_cond(hh):
+            sub = jnp.abs(H[hh - 1, hh - 2])
+            scale = jnp.abs(H[hh - 2, hh - 2]) + jnp.abs(H[hh - 1, hh - 1])
+            small = sub <= tol * jnp.maximum(scale, jnp.ones((), rdt))
+            return jnp.logical_and(hh > 1, small)
+
+        return jax.lax.while_loop(d_cond, lambda hh: hh - 1, hi)
+
+    def cond(c):
+        H, Q, hi, sweeps = c
+        return jnp.logical_and(hi > 1, sweeps < max_sweeps)
+
+    def body(c):
+        H, Q, hi, sweeps = c
+        shift = _wilkinson_shift(H, hi)
+        H, Q = _givens_sweep_q(H, Q, hi, shift)
+        hi = deflate((H, hi))
+        return H, Q, hi, sweeps + 1
+
+    Q0 = jnp.eye(n, dtype=dtype)
+    hi0 = deflate((H0, jnp.asarray(n, jnp.int32)))
+    H, Q, hi, sweeps = jax.lax.while_loop(
+        cond, body, (H0, Q0, hi0, jnp.zeros((), jnp.int32)))
+    return H, Q, sweeps, hi
+
+
+def _hessenberg_dense_q(a: "np.ndarray"):
+    """Host Hessenberg reduction that also returns the accumulated
+    unitary (A = Q H Q^H) — NumPy mirror of hessenberg_host."""
+    H = np.array(a)
+    n = H.shape[0]
+    Q = np.eye(n, dtype=H.dtype)
+    for k in range(n - 2):
+        x = H[k + 1:, k].copy()
+        if np.linalg.norm(x[1:]) == 0:
+            continue
+        norm_x = np.linalg.norm(x)
+        x0 = x[0]
+        sign = x0 / abs(x0) if x0 != 0 else 1.0
+        alpha = -sign * norm_x
+        v = x
+        v[0] -= alpha
+        vn = np.linalg.norm(v)
+        if vn == 0:
+            continue
+        v = v / vn
+        H[k + 1:, k:] -= 2.0 * np.outer(v, np.conj(v) @ H[k + 1:, k:])
+        H[:, k + 1:] -= 2.0 * np.outer(H[:, k + 1:] @ v, np.conj(v))
+        Q[:, k + 1:] -= 2.0 * np.outer(Q[:, k + 1:] @ v, np.conj(v))
+    return H, Q
+
+
+def _qr_eigenvectors_xla(a: "np.ndarray", max_it, dtol, ftype) -> QRResult:
+    """compute_vectors path on the XLA/complex stack (CPU backend or the
+    Pallas fallback sizes): Schur via shifted Givens with Q accumulation,
+    eigenvectors via triangular back-substitution."""
+    from ..ops.pallas.qr_kernels import triangular_eigenvectors
+    cdt = np.complex64 if np.asarray(a).real.dtype == np.float32         else np.complex128
+    ac = np.asarray(a).astype(cdt)
+    H0, Qh = _hessenberg_dense_q(ac)
+    T, Qs, sweeps, hi = _qr_eigenvalues_accel_schur(
+        jnp.asarray(H0), max_it, jnp.asarray(dtol, ftype))
+    T = np.asarray(T)
+    Q = Qh @ np.asarray(Qs)
+    V = Q.astype(np.complex128) @ triangular_eigenvectors(
+        T.astype(np.complex128))
+    V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
+                        1e-300)).astype(cdt)
+    return QRResult(eigenvalues=jnp.asarray(np.diagonal(T)),
+                    iterations=jnp.asarray(int(sweeps), jnp.int32),
+                    converged=jnp.asarray(bool(int(hi) <= 1)),
+                    eigenvectors=jnp.asarray(V))
+
+
 # ---------------------------------------------------------------------------
 # accelerated mode, real arithmetic (TPU path: no complex dtypes exist on
 # this backend) — single-shift real QR with 1x1/2x2 deflation; complex
@@ -458,6 +589,29 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
     max_it = jnp.asarray(opts.max_iterations, jnp.int32)
 
     n = M.shape[0]
+    compute_vectors = isinstance(opts, QROptions) and opts.compute_vectors
+    if mode == "accelerated" and compute_vectors and n > 0:
+        dtol = opts.deflation_tolerance if opts.deflation_tolerance is not None \
+            else opts.tolerance
+        # Q-accumulating Pallas path carries two extra plane stacks; its
+        # VMEM cap is tighter than the plain eigenvalue kernel's (and
+        # tighter still for complex inputs, whose Hessenberg runs 2 planes).
+        vec_cap = 384 if np.dtype(M.dtype).kind == "c" else 512
+        if _use_pallas_qr(n, M.dtype) and n <= vec_cap:
+            from ..core.dtypes import complex_safe_device
+            from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
+            eigs, sweeps, conv, V = qr_eigenvalues_pallas(
+                np.asarray(M.as_dense()), int(opts.max_iterations),
+                float(dtol), compute_vectors=True)
+            with complex_safe_device():
+                return QRResult(eigenvalues=jnp.asarray(eigs),
+                                iterations=jnp.asarray(sweeps, jnp.int32),
+                                converged=jnp.asarray(conv),
+                                eigenvectors=jnp.asarray(V))
+        with _dense_qr_device():
+            return _qr_eigenvectors_xla(
+                np.asarray(M.as_dense()), max_it,
+                float(dtol), ftype)
     if mode == "accelerated" and _use_pallas_qr(n, M.dtype):
         # TPU-resident path: Pallas Hessenberg + in-kernel shifted-Givens
         # QR with deflation (ops/pallas/qr_kernels.py).

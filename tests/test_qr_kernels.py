@@ -185,3 +185,56 @@ class TestQRParityKernel:
         assert conv
         assert _match_err(np.linalg.eigvals(a.astype(np.complex128)),
                           eigs) < 1e-3
+
+
+class TestEigenvectors:
+    """compute_vectors superset: Schur accumulation + back-substitution."""
+
+    @pytest.mark.parametrize("make", ["real", "cplx"])
+    def test_xla_path_residual(self, make):
+        import pcsc_eigenvalue_solver_project_tpu as es
+        rng = np.random.default_rng(3)
+        n = 30
+        a = rng.standard_normal((n, n))
+        if make == "cplx":
+            a = a + 1j * rng.standard_normal((n, n))
+        M = es.DenseMatrix.from_array(a)
+        r = es.qr_eigenvalues(M, es.QROptions(
+            mode="accelerated", compute_vectors=True, tolerance=1e-10,
+            max_iterations=3000))
+        assert bool(r.converged)
+        V = np.asarray(r.eigenvectors)
+        lam = np.asarray(r.eigenvalues)
+        res = np.abs(a.astype(np.complex128) @ V - V * lam[None, :]).max()
+        assert res < 1e-8
+        # columns normalized
+        np.testing.assert_allclose(np.linalg.norm(V, axis=0), 1.0, rtol=1e-6)
+
+    def test_pallas_kernel_vectors_interpret(self):
+        rng = np.random.default_rng(4)
+        n = 18
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        eigs, sweeps, conv, V = qr_eigenvalues_pallas(
+            a, 2000, 1e-6, interpret=True, compute_vectors=True)
+        assert conv
+        res = np.abs(a.astype(np.complex128) @ V - V * eigs[None, :]).max()
+        assert res < 5e-5
+
+    def test_triangular_backsub_repeated_eigenvalue(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+            triangular_eigenvectors)
+        # repeated diagonal: the perturbed-pivot path must stay finite
+        T = np.array([[2.0, 1.0, 0.5],
+                      [0.0, 2.0, 1.0],
+                      [0.0, 0.0, 3.0]], np.complex128)
+        V = triangular_eigenvectors(T)
+        assert np.all(np.isfinite(V))
+        # the well-separated eigenvalue's vector is exact
+        v3 = V[:, 2] / np.linalg.norm(V[:, 2])
+        r = T @ v3 - 3.0 * v3
+        assert np.abs(r).max() < 1e-12
+
+    def test_parity_mode_rejects_vectors(self):
+        import pcsc_eigenvalue_solver_project_tpu as es
+        with pytest.raises(ValueError, match="compute_vectors"):
+            es.QROptions(mode="parity", compute_vectors=True)
