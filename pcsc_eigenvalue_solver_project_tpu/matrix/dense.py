@@ -43,10 +43,11 @@ class DenseMatrix(AbstractMatrix):
             dtype = canonical_dtype(dtype)
         probe = np.dtype(dtype) if dtype is not None else \
             np.asarray(a).dtype if not hasattr(a, "dtype") else np.dtype(a.dtype)
-        if probe.kind == "c":
-            # complex arrays live on the CPU device when the accelerator
-            # backend has no complex support (axon); TPU compute paths for
-            # complex use split re/im planes instead
+        if probe.kind == "c" or (probe.kind == "f" and probe.itemsize == 8):
+            # complex and f64 arrays live on the CPU device when the
+            # accelerator backend supports neither (axon: complex ops raise
+            # Unimplemented, f64 ops hang); TPU compute paths use split
+            # re/im planes and f32 instead
             from ..core.dtypes import complex_safe_device
             with complex_safe_device():
                 arr = jnp.asarray(np.asarray(a), dtype=dtype)
