@@ -43,7 +43,13 @@ class DenseMatrix(AbstractMatrix):
             dtype = canonical_dtype(dtype)
         probe = np.dtype(dtype) if dtype is not None else \
             np.asarray(a).dtype if not hasattr(a, "dtype") else np.dtype(a.dtype)
-        if probe.kind == "c" or (probe.kind == "f" and probe.itemsize == 8):
+        # An f64 probe only yields an actual f64 array when x64 is on;
+        # with x64 off jnp.asarray downcasts to f32, which the accelerator
+        # takes fine — pinning it to CPU would silently move all dense
+        # compute off-chip for the common default-numpy-array case.
+        f64_real = (probe.kind == "f" and probe.itemsize == 8
+                    and jax.config.jax_enable_x64)
+        if probe.kind == "c" or f64_real:
             # complex and f64 arrays live on the CPU device when the
             # accelerator backend supports neither (axon: complex ops raise
             # Unimplemented, f64 ops hang); TPU compute paths use split

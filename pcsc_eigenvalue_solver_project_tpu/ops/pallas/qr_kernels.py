@@ -317,6 +317,12 @@ def _qr_eig_kernel(scal_i_ref, scal_f_ref, in_ref, h_ref, out_ref,
         # transposed back to Q after the loop.
         q_ref[0, pl.ds(0, np_), :] = eye_m
         q_ref[1, pl.ds(0, np_), :] = jnp.zeros((np_, np_), jnp.float32)
+        # The right-pass 16-row windows read-modify-write rows >= np_
+        # whenever a rotation index lands within _WIN of np_; those rows
+        # must be zero (not uninitialized VMEM: 0 * NaN = NaN would poison
+        # the masked sums nondeterministically on hardware).
+        q_ref[0, pl.ds(np_, _WIN), :] = jnp.zeros((_WIN, np_), jnp.float32)
+        q_ref[1, pl.ds(np_, _WIN), :] = jnp.zeros((_WIN, np_), jnp.float32)
 
     def diag_sub():
         Hr = h_ref[0, pl.ds(0, np_), :]
@@ -566,18 +572,21 @@ def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
     return eigs, int(sweeps), bool(int(hi) <= 1), V
 
 
-def triangular_eigenvectors(T: np.ndarray) -> np.ndarray:
+def triangular_eigenvectors(T: np.ndarray,
+                            source_real_dtype=np.float32) -> np.ndarray:
     """Eigenvectors of an upper-triangular matrix by back-substitution.
 
     Column k solves ``(T - T[k,k] I) y = 0`` with ``y[k] = 1`` and zeros
-    below; tiny pivots are perturbed to f32-epsilon scale (the standard
-    LAPACK trick for repeated eigenvalues).
+    below; tiny pivots are perturbed to epsilon scale of the precision the
+    Schur form was COMPUTED in (``source_real_dtype`` — f32 for the Pallas
+    kernels, f64 for the x64 XLA path), the standard LAPACK trick for
+    repeated eigenvalues. T itself always arrives as complex128.
     """
     n = T.shape[0]
     V = np.zeros((n, n), np.complex128)
     diag = np.diagonal(T)
     scale = max(np.abs(T).max(), 1.0)
-    eps = np.finfo(np.float32).eps * scale
+    eps = np.finfo(np.dtype(source_real_dtype)).eps * scale
     for k in range(n):
         lam = diag[k]
         y = np.zeros(n, np.complex128)

@@ -129,20 +129,6 @@ def hessenberg_pallas_backend(a, *, interpret: bool = False):
     return h[0]
 
 
-def hessenberg_for_backend(a: jax.Array) -> jax.Array:
-    """Hessenberg reduction routed per backend: XLA loop on CPU (and for
-    tiny n), the Pallas kernel on accelerators, host NumPy only for what
-    the kernel does not take (f64/c128, n beyond the VMEM cap)."""
-    from .qr_eigenvalues import _use_pallas_qr
-    import numpy as np
-    n = a.shape[0]
-    if jax.default_backend() == "cpu" or n <= _DEVICE_HESSENBERG_MAX_N_ON_AXON:
-        return hessenberg_dense(a)
-    if _use_pallas_qr(n, a.dtype):
-        return jnp.asarray(hessenberg_pallas_backend(np.asarray(a)))
-    return jnp.asarray(hessenberg_host(np.asarray(a)))
-
-
 def to_hessenberg(M: AbstractMatrix, *, dtype=None) -> jax.Array:
     """Wrapper with the reference's dense-only and scalar-type guards.
 

@@ -142,8 +142,8 @@ def _wilkinson_shift(H: jax.Array, hi: jax.Array) -> jax.Array:
 def _qr_eigenvalues_accel(H0: jax.Array, max_sweeps: jax.Array,
                           tol: jax.Array) -> QRResult:
     """Input MUST already be upper Hessenberg (callers pre-reduce; the
-    reduction lives outside jit so the axon backend can run it on host —
-    see hessenberg.hessenberg_for_backend)."""
+    reduction lives outside jit so the axon backend can route it through
+    the Pallas kernel or host — see hessenberg.to_hessenberg)."""
     n = H0.shape[0]
     dtype = H0.dtype  # complex by construction
     rdt = jnp.dtype(real_dtype_of(dtype))
@@ -310,8 +310,9 @@ def _qr_eigenvectors_xla(a: "np.ndarray", max_it, dtol, ftype) -> QRResult:
         jnp.asarray(H0), max_it, jnp.asarray(dtol, ftype))
     T = np.asarray(T)
     Q = Qh @ np.asarray(Qs)
+    src_rdt = np.float32 if cdt == np.complex64 else np.float64
     V = Q.astype(np.complex128) @ triangular_eigenvectors(
-        T.astype(np.complex128))
+        T.astype(np.complex128), source_real_dtype=src_rdt)
     V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
                         1e-300)).astype(cdt)
     return QRResult(eigenvalues=jnp.asarray(np.diagonal(T)),
@@ -632,6 +633,11 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
         eigs, iterations, conv, _ = qr_parity_pallas(
             np.asarray(M.as_dense()), int(opts.max_iterations),
             float(opts.tolerance))
+        if np.dtype(M.dtype).kind != "c":
+            # Real inputs run the 1-plane kernel (imag identically zero);
+            # return the input's real dtype exactly like the CPU path and
+            # the reference (qr_result.hpp:23-44 keeps the Scalar type).
+            eigs = eigs.real.astype(np.dtype(M.dtype))
         return QRResult(eigenvalues=eigs,
                         iterations=jnp.asarray(iterations, jnp.int32),
                         converged=jnp.asarray(conv))
