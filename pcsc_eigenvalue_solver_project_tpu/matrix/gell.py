@@ -73,7 +73,7 @@ class SparseGELL(AbstractMatrix):
 
     @property
     def dtype(self):
-        return np.dtype(self.pack.val.dtype)
+        return self.pack.dtype
 
     @property
     def is_dense(self) -> bool:

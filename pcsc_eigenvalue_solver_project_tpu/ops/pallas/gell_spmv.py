@@ -4,35 +4,43 @@ This is the fast path for the reference's hot op ``A * x`` when ``A`` is an
 arbitrary ``Eigen::SparseMatrix`` (/root/reference/src/power_method/
 power_method.hpp:69 with the sparse arm of src/matrix/matrix.hpp:39-44).
 XLA's gather + segment-sum runs at ~0.15 Gnnz/s inside solver loops on this
-chip; this kernel measures ~12.8 Gnnz/s on a 100K-row / 33 nnz-per-row
-random matrix (85x) by turning the irregular gather/scatter into dense
+chip; this kernel turns the irregular gather/scatter into dense
 (sublane, lane) tile operations:
 
 Layout ("GELL pack", built once on host):
 - Rows are tiled ``tile_rows`` (= ``ng``*128) at a time. Within a tile,
   every nonzero (r, c, v) is bucketed by **lane bucket** ``l = c % 128``
   (the sublane axis) and packed densely into **slots** (the lane axis) in
-  sorted (output-row, column-segment) order — a (128, 128) tile of values
-  plus a packed int32 carrying ``seg = c // 128`` (16 bits) and 3
-  suffix-scan mask bits.
+  sorted (output-row, column-segment) order.
+- The segment word carries ``seg = c // 128`` plus suffix-scan mask bits.
+  It is **int16** when the column count fits 13 bits of segment
+  (n_cols <= 2**13 * 128 = 1,048,576; masks in bits 13/14/15) and int32
+  otherwise (seg in the low 16 bits, masks at bits 16/17/18) — half the
+  HBM traffic for every matrix up to a million columns.
 - ``x`` is transposed to ``x_t[l, s] = x[s*128 + l]`` so one
   ``take_along_axis`` **lane gather** (the only gather Mosaic supports,
   and only within a 128-lane tile) fetches x for all 16384 slots of one
   128-wide segment chunk; a short masked loop covers the column span.
 - Entries of the same output row in the same bucket are **contiguous slot
-  runs**; a 3-step masked Hillis-Steele suffix scan (lane rolls by 1/2/4)
-  sums each run into its head slot — handling up to 8 duplicates per
-  (row, bucket).
+  runs**; a masked Hillis-Steele suffix scan (lane rolls by 1/2/4) sums
+  each run into its head slot — handling up to 8 duplicates per
+  (row, bucket). The number of scan steps actually executed is the
+  static ``scan_steps`` = ceil(log2(longest run)) recorded at pack time
+  (0 for collision-free packs — the common case for scattered sparsity).
 - A per-output-row **inverse permutation** (lane gather again) moves each
-  head slot to its output position; sublanes (buckets) partially reduce
-  16 -> 1 inside the kernel and the final 8-way reduction + spill
-  scatter-add run in XLA.
+  head slot to its output position. It is stored as **int8** (bit 7 =
+  valid, low 7 bits = head slot) — a quarter of the int32 encoding's
+  traffic, which dominated the round-2 kernel's bytes/nnz.
+- Complex values are stored as split re/im planes ``(tiles, 2, 128, 128)``
+  and evaluated in ONE fused kernel pass (shared segment/inverse loads,
+  two gathers per chunk) instead of four split passes.
 - Entries that overflow a bucket (slot >= 128) or a run (>= 8 deep) go to
   a small COO **spill** tail evaluated with gather + ``.at[].add``.
 
 The same pack evaluates in pure jnp (``force="xla"``) for CPU tests, f64,
-and complex dtypes; the Pallas path requires f32 (complex64 runs as two
-split-plane passes through the same kernel).
+and complex128; the Pallas path takes f32/bf16 values (complex64 runs the
+fused split-plane kernel; use ``GELLPack.with_values_dtype(jnp.bfloat16)``
+to halve value traffic at bf16 precision).
 """
 
 from __future__ import annotations
@@ -49,7 +57,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 DEFAULT_TILE_ROWS = 384          # ng = 3 output groups; good fill at ~33 nnz/row
-_MAX_SEG = (1 << 16) - 1         # seg must fit the low 16 bits of the packed word
+_SEG16_BITS = 13                 # int16 word: 13-bit seg + 3 scan-mask bits
+_SEG16_MAX_COLS = (1 << _SEG16_BITS) * LANES   # 1,048,576
+_MAX_SEG = (1 << 16) - 1         # int32 word: seg must fit 16 bits
 _XT_VMEM_BUDGET = 6 * 2**20      # keep the transposed-x VMEM block modest
 
 
@@ -58,21 +68,25 @@ _XT_VMEM_BUDGET = 6 * 2**20      # keep the transposed-x VMEM block modest
 class GELLPack:
     """Device arrays of one packed gather-ELL operator (a pytree).
 
-    ``seg_packed[t, l, slot]``: low 16 bits = column segment (c // 128);
-    bits 16/17/18 = "run continues for >=1/2/4 more slots" scan masks.
-    ``val`` has the same indexing. ``inv[t, g*128 + l, j]``: for output row
-    ``t*tile_rows + g*128 + j``, bit 15 = valid, low 7 bits = head slot of
-    that row's run in bucket ``l``. COO spill tail in ``sp_*``.
+    ``seg_packed[t, l, slot]``: the segment word (int16 or int32 — see
+    module docstring). ``val`` is (tiles, 128, 128) for real dtypes and
+    (tiles, 2, 128, 128) re/im planes for complex. ``inv[t, g*128+l, j]``
+    int8: bit 7 = valid, low 7 bits = head slot of output row
+    ``t*tile_rows + g*128 + j``'s run in bucket ``l``. COO spill tail in
+    ``sp_*`` (``sp_vals`` is (2, n_spill) planes when complex).
     """
 
-    seg_packed: jax.Array   # (n_tiles, 128, 128) int32
-    val: jax.Array          # (n_tiles, 128, 128) scalar dtype
-    inv: jax.Array          # (n_tiles, ng*128, 128) int32
+    seg_packed: jax.Array   # (n_tiles, 128, 128) int16 | int32
+    val: jax.Array          # (n_tiles, [2,] 128, 128)
+    inv: jax.Array          # (n_tiles, ng*128, 128) int8
     sp_rows: jax.Array      # (n_spill,) int32
     sp_cols: jax.Array      # (n_spill,) int32
-    sp_vals: jax.Array      # (n_spill,) scalar dtype
+    sp_vals: jax.Array      # (n_spill,) | (2, n_spill)
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     tile_rows: int = dataclasses.field(metadata=dict(static=True))
+    scan_steps: int = dataclasses.field(default=3, metadata=dict(static=True))
+    is_complex: bool = dataclasses.field(default=False,
+                                         metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
@@ -91,6 +105,23 @@ class GELLPack:
     def n_spill(self) -> int:
         return int(self.sp_rows.shape[0])
 
+    @property
+    def dtype(self):
+        """The logical scalar dtype of the operator."""
+        if self.is_complex:
+            r = np.dtype(self.val.dtype)
+            if r == np.dtype(jnp.bfloat16):
+                return np.dtype(np.complex64)
+            return np.dtype(np.complex64) if r == np.dtype(np.float32) \
+                else np.dtype(np.complex128)
+        return np.dtype(self.val.dtype)
+
+    def with_values_dtype(self, dtype) -> "GELLPack":
+        """Same pack with values (and spill) cast — e.g. jnp.bfloat16 to
+        halve the value-plane HBM traffic (f32 accumulation regardless)."""
+        return dataclasses.replace(self, val=self.val.astype(dtype),
+                                   sp_vals=self.sp_vals.astype(dtype))
+
 
 def auto_tile_rows(n_rows: int, nnz: int) -> int:
     """Pick tile_rows so the expected bucket fill is ~0.75 (96 slots):
@@ -107,6 +138,7 @@ def pack_gell(row, col, values, shape, tile_rows: int | None = None) -> GELLPack
     r = np.asarray(row, np.int64)
     c = np.asarray(col, np.int64)
     v = np.asarray(values)
+    is_complex = np.dtype(v.dtype).kind == "c"
     nnz = len(r)
     if tile_rows is None:
         tile_rows = auto_tile_rows(n_rows, nnz)
@@ -156,74 +188,157 @@ def pack_gell(row, col, values, shape, tile_rows: int | None = None) -> GELLPack
 
     if n_cols > (_MAX_SEG + 1) * LANES:
         raise ValueError("pack_gell: n_cols too large for the 16-bit segment field")
+    seg16 = n_cols <= _SEG16_MAX_COLS
 
-    seg_arr = np.zeros((n_tiles, LANES, LANES), np.int32)
-    val_arr = np.zeros((n_tiles, LANES, LANES), v.dtype)
-    inv_arr = np.zeros((n_tiles, ng, LANES, LANES), np.int32)
     m1 = (remaining >= 1).astype(np.int32)
     m2 = (remaining >= 2).astype(np.int32)
     m4 = (remaining >= 4).astype(np.int32)
-    packed = kg.astype(np.int32) | (m1 << 16) | (m2 << 17) | (m4 << 18)
-    seg_arr[kt, kl, kslot] = packed
-    val_arr[kt, kl, kslot] = kv
+    max_rem = int(remaining.max()) if len(remaining) else 0
+    scan_steps = 0 if max_rem < 1 else 1 if max_rem < 2 else \
+        2 if max_rem < 4 else 3
+
+    if seg16:
+        packed = (kg.astype(np.int32) | (m1 << _SEG16_BITS)
+                  | (m2 << (_SEG16_BITS + 1)) | (m4 << (_SEG16_BITS + 2)))
+        seg_arr = np.zeros((n_tiles, LANES, LANES), np.uint16)
+        seg_arr[kt, kl, kslot] = packed.astype(np.uint16)
+        seg_arr = seg_arr.view(np.int16)
+    else:
+        packed = kg.astype(np.int32) | (m1 << 16) | (m2 << 17) | (m4 << 18)
+        seg_arr = np.zeros((n_tiles, LANES, LANES), np.int32)
+        seg_arr[kt, kl, kslot] = packed
+
+    rdt = np.float64 if np.dtype(v.dtype).itemsize > (8 if is_complex else 4) \
+        else np.float32
+    if is_complex:
+        val_arr = np.zeros((n_tiles, 2, LANES, LANES), rdt)
+        val_arr[kt, 0, kl, kslot] = kv.real
+        val_arr[kt, 1, kl, kslot] = kv.imag
+        sp_vals = np.stack([v_[spill].real, v_[spill].imag]).astype(rdt)
+    else:
+        val_arr = np.zeros((n_tiles, LANES, LANES), v.dtype)
+        val_arr[kt, kl, kslot] = kv
+        sp_vals = v_[spill]
+
+    inv_arr = np.zeros((n_tiles, ng, LANES, LANES), np.uint8)
     heads = krank == 0
     ht, hl, ho, hs = kt[heads], kl[heads], ko[heads], kslot[heads]
-    inv_arr[ht, ho // LANES, hl, ho % LANES] = hs | 0x8000
+    inv_arr[ht, ho // LANES, hl, ho % LANES] = (hs | 0x80).astype(np.uint8)
 
     return GELLPack(
         seg_packed=jnp.asarray(seg_arr),
         val=jnp.asarray(val_arr),
-        inv=jnp.asarray(inv_arr.reshape(n_tiles, ng * LANES, LANES)),
+        inv=jnp.asarray(inv_arr.reshape(n_tiles, ng * LANES, LANES)
+                        .view(np.int8)),
         sp_rows=jnp.asarray(r_[spill], jnp.int32),
         sp_cols=jnp.asarray(c_[spill], jnp.int32),
-        sp_vals=jnp.asarray(v_[spill]),
+        sp_vals=jnp.asarray(sp_vals),
         shape=(n_rows, n_cols),
         tile_rows=T,
+        scan_steps=scan_steps,
+        is_complex=is_complex,
     )
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# shared decode helpers (trace into both the kernel and the XLA path)
 # ---------------------------------------------------------------------------
 
-def _gell_kernel(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *, n_chunks, ng):
-    seg_p = seg_ref[0]
-    val = val_ref[0]
-    seg = seg_p & 0xFFFF
+def _decode_seg(seg_arr):
+    """-> (seg, word32, (bit1, bit2, bit4)) for either segment format."""
+    if seg_arr.dtype == jnp.int16:
+        w = seg_arr.astype(jnp.int32) & 0xFFFF
+        return (w & (_SEG16_MAX_COLS // LANES - 1), w,
+                (1 << _SEG16_BITS, 1 << (_SEG16_BITS + 1),
+                 1 << (_SEG16_BITS + 2)))
+    return seg_arr & 0xFFFF, seg_arr, (1 << 16, 1 << 17, 1 << 18)
+
+
+def _scan_runs(p, word, bits, scan_steps: int, roll):
+    """Masked Hillis-Steele suffix scan: sum runs into their head slots."""
+    zero = jnp.zeros((), p.dtype)
+    for k, bit in list(zip((1, 2, 4), bits))[:scan_steps]:
+        m = (word & bit) > 0
+        p = p + jnp.where(m, roll(p, k), zero)
+    return p
+
+
+def _decode_inv(inv8):
+    iv = inv8.astype(jnp.int32)          # sign-extends: valid -> negative
+    return iv & (LANES - 1), (iv < 0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _gather_chunks(seg, xt_ref, n_chunks, plane=None):
+    """x value for every slot: one lane-gather per 128-segment chunk."""
     s_lo = seg & (LANES - 1)
     s_hi = seg >> 7
-    # gather x for every slot: one lane-gather per 128-segment chunk,
-    # selected where the slot's segment lives in that chunk
-    t = jnp.zeros((LANES, LANES), val.dtype)
+    t = jnp.zeros((LANES, LANES), jnp.float32)
     for c in range(n_chunks):
-        src = xt_ref[:, c * LANES:(c + 1) * LANES]
+        src = xt_ref[c] if plane is None else xt_ref[plane, c]
         g = jnp.take_along_axis(src, s_lo, axis=1)
         t = jnp.where(s_hi == c, g, t)
-    p = val * t
-    # masked suffix scan: sum each contiguous run into its head slot
-    zero = jnp.zeros((), p.dtype)
-    for k, bit in ((1, 16), (2, 17), (4, 18)):
-        m = (seg_p & (1 << bit)) > 0
-        p = p + jnp.where(m, pltpu.roll(p, LANES - k, 1), zero)
-    # inverse permutation: head slot -> output-row lane, then partial
-    # sublane reduction 128 -> 8 per output group
+    return t
+
+
+def _invert_to_rows(p, inv_ref, ng):
+    """Head slot -> output-row lane + partial sublane reduction 128 -> 8."""
     outs = []
     for g in range(ng):
-        inv = inv_ref[0, g * LANES:(g + 1) * LANES, :]
-        valid = (inv >> 15).astype(p.dtype)
-        idx = inv & (LANES - 1)
-        q = jnp.take_along_axis(p, idx, axis=1) * valid
+        idx, valid = _decode_inv(inv_ref[0, g * LANES:(g + 1) * LANES, :])
+        q = jnp.take_along_axis(p, idx, axis=1) * valid.astype(p.dtype)
         outs.append(jnp.sum(q.reshape(8, 16, LANES), axis=1))
-    out_ref[0] = jnp.concatenate(outs, axis=0)
+    return jnp.concatenate(outs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "ng", "interpret"))
+def _gell_kernel(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
+                 n_chunks, ng, scan_steps):
+    seg, word, bits = _decode_seg(seg_ref[0])
+    t = _gather_chunks(seg, xt_ref, n_chunks)
+    p = val_ref[0].astype(jnp.float32) * t
+    p = _scan_runs(p, word, bits, scan_steps,
+                   lambda q, k: pltpu.roll(q, LANES - k, 1))
+    out_ref[0] = _invert_to_rows(p, inv_ref, ng)
+
+
+def _gell_kernel_cpx(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
+                     n_chunks, ng, scan_steps):
+    """Fused complex pass: one segment/inverse load, two gathers/chunk."""
+    seg, word, bits = _decode_seg(seg_ref[0])
+    tr = _gather_chunks(seg, xt_ref, n_chunks, plane=0)
+    ti = _gather_chunks(seg, xt_ref, n_chunks, plane=1)
+    vr = val_ref[0, 0].astype(jnp.float32)
+    vi = val_ref[0, 1].astype(jnp.float32)
+    pr = vr * tr - vi * ti
+    pi = vr * ti + vi * tr
+    roll = lambda q, k: pltpu.roll(q, LANES - k, 1)
+    pr = _scan_runs(pr, word, bits, scan_steps, roll)
+    pi = _scan_runs(pi, word, bits, scan_steps, roll)
+    # share the inverse-permutation index decode across both planes
+    outs_r, outs_i = [], []
+    for g in range(ng):
+        idx, valid = _decode_inv(inv_ref[0, g * LANES:(g + 1) * LANES, :])
+        vf = valid.astype(jnp.float32)
+        qr = jnp.take_along_axis(pr, idx, axis=1) * vf
+        qi = jnp.take_along_axis(pi, idx, axis=1) * vf
+        outs_r.append(jnp.sum(qr.reshape(8, 16, LANES), axis=1))
+        outs_i.append(jnp.sum(qi.reshape(8, 16, LANES), axis=1))
+    out_ref[0, 0] = jnp.concatenate(outs_r, axis=0)
+    out_ref[0, 1] = jnp.concatenate(outs_i, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "ng", "scan_steps",
+                                             "interpret"))
 def _gell_tiles_pallas(seg_packed, val, inv, x_t, n_chunks: int, ng: int,
-                       interpret: bool):
+                       scan_steps: int, interpret: bool):
     n_tiles = seg_packed.shape[0]
     out = pl.pallas_call(
-        functools.partial(_gell_kernel, n_chunks=n_chunks, ng=ng),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * ng, LANES), val.dtype),
+        functools.partial(_gell_kernel, n_chunks=n_chunks, ng=ng,
+                          scan_steps=scan_steps),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * ng, LANES), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
@@ -242,21 +357,49 @@ def _gell_tiles_pallas(seg_packed, val, inv, x_t, n_chunks: int, ng: int,
     return out.reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
 
 
-def _gell_tiles_xla(seg_packed, val, inv, x_pad, ng: int):
-    """Pure-jnp evaluation of the same pack (CPU / f64 / complex path)."""
-    seg = seg_packed & 0xFFFF
+@functools.partial(jax.jit, static_argnames=("n_chunks", "ng", "scan_steps",
+                                             "interpret"))
+def _gell_tiles_pallas_cpx(seg_packed, val, inv, x_t2, n_chunks: int, ng: int,
+                           scan_steps: int, interpret: bool):
+    n_tiles = seg_packed.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_gell_kernel_cpx, n_chunks=n_chunks, ng=ng,
+                          scan_steps=scan_steps),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 2, 8 * ng, LANES),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, LANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng * LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 8 * ng, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seg_packed, val, inv, x_t2)
+    yr = out[:, 0].reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
+    yi = out[:, 1].reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
+    return yr, yi
+
+
+def _gell_tiles_xla(seg_packed, val, inv, x_pad, ng: int, scan_steps: int):
+    """Pure-jnp evaluation of the same pack (CPU / f64 path). ``val``/
+    ``x_pad`` are one real plane; complex callers run this per product."""
+    seg, word, bits = _decode_seg(seg_packed)
     lane = jnp.arange(LANES, dtype=jnp.int32)[None, :, None]
     t = jnp.take(x_pad, seg * LANES + lane, axis=0)
     p = val * t.astype(val.dtype)
-    zero = jnp.zeros((), p.dtype)
-    for k, bit in ((1, 16), (2, 17), (4, 18)):
-        m = (seg_packed & (1 << bit)) > 0
-        p = p + jnp.where(m, jnp.roll(p, -k, axis=2), zero)
+    p = _scan_runs(p, word, bits, scan_steps,
+                   lambda q, k: jnp.roll(q, -k, axis=2))
     n_tiles = seg_packed.shape[0]
     inv4 = inv.reshape(n_tiles, ng, LANES, LANES)
-    valid = (inv4 >> 15).astype(p.dtype)
-    idx = inv4 & (LANES - 1)
-    q = jnp.take_along_axis(p[:, None], idx, axis=3) * valid
+    idx, valid = _decode_inv(inv4)
+    q = jnp.take_along_axis(p[:, None], idx, axis=3) * valid.astype(p.dtype)
     return jnp.sum(q, axis=2).reshape(-1)  # sum over buckets (sublanes)
 
 
@@ -270,9 +413,49 @@ def _use_pallas(pack: GELLPack, force: str | None) -> bool:
     if jax.default_backend() == "cpu":
         return False
     dt = np.dtype(pack.val.dtype)
-    if dt not in (np.dtype(np.float32), np.dtype(np.complex64)):
+    if dt not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
         return False
-    return pack.n_chunks * LANES * LANES * 4 <= _XT_VMEM_BUDGET
+    planes = 2 if pack.is_complex else 1
+    return planes * pack.n_chunks * LANES * LANES * 4 <= _XT_VMEM_BUDGET
+
+
+def gell_matvec_planes(pack: GELLPack, x_planes: jax.Array, *,
+                       force: str | None = None) -> jax.Array:
+    """``A @ x`` for a complex pack with ``x`` as (2, n) re/im planes,
+    returning (2, n_rows) planes — the entry point for accelerator
+    backends with no complex dtypes (complex arrays cannot even be
+    CREATED on the axon TPU; ``gell_matvec`` with a complex ``x`` only
+    exists off-accelerator)."""
+    if not pack.is_complex:
+        raise ValueError("gell_matvec_planes: pack is not complex")
+    n_rows, n_cols = pack.shape
+    n_chunks, ng = pack.n_chunks, pack.ng
+    pad_cols = n_chunks * LANES * LANES
+    rdt = x_planes.dtype
+    xp = jnp.pad(x_planes, ((0, 0), (0, pad_cols - n_cols)))
+    if _use_pallas(pack, force):
+        x_t2 = xp.reshape(2, -1, LANES).transpose(0, 2, 1) \
+            .reshape(2, LANES, n_chunks, LANES).transpose(0, 2, 1, 3)
+        yr, yi = _gell_tiles_pallas_cpx(
+            pack.seg_packed, pack.val, pack.inv, x_t2, n_chunks, ng,
+            pack.scan_steps, force == "interpret")
+        yr, yi = yr.astype(rdt), yi.astype(rdt)
+    else:
+        vr, vi = pack.val[:, 0].astype(rdt), pack.val[:, 1].astype(rdt)
+        a = (pack.seg_packed, pack.inv)
+        yr = (_gell_tiles_xla(a[0], vr, a[1], xp[0], ng, pack.scan_steps)
+              - _gell_tiles_xla(a[0], vi, a[1], xp[1], ng, pack.scan_steps))
+        yi = (_gell_tiles_xla(a[0], vr, a[1], xp[1], ng, pack.scan_steps)
+              + _gell_tiles_xla(a[0], vi, a[1], xp[0], ng, pack.scan_steps))
+    y = jnp.stack([yr[:n_rows], yi[:n_rows]])
+    if pack.n_spill:
+        svr = pack.sp_vals[0].astype(rdt)
+        svi = pack.sp_vals[1].astype(rdt)
+        xgr = jnp.take(x_planes[0], pack.sp_cols, axis=0)
+        xgi = jnp.take(x_planes[1], pack.sp_cols, axis=0)
+        y = y.at[0, pack.sp_rows].add(svr * xgr - svi * xgi)
+        y = y.at[1, pack.sp_rows].add(svr * xgi + svi * xgr)
+    return y
 
 
 def gell_matvec(pack: GELLPack, x: jax.Array, *, force: str | None = None) -> jax.Array:
@@ -281,26 +464,26 @@ def gell_matvec(pack: GELLPack, x: jax.Array, *, force: str | None = None) -> ja
     n_rows, n_cols = pack.shape
     n_chunks, ng = pack.n_chunks, pack.ng
     pad_cols = n_chunks * LANES * LANES
+
+    if pack.is_complex:
+        rdt = jnp.float64 if np.dtype(x.dtype) == np.dtype(np.complex128) \
+            else jnp.float32
+        planes = jnp.stack([jnp.real(x).astype(rdt), jnp.imag(x).astype(rdt)])
+        y = gell_matvec_planes(pack, planes, force=force)
+        return jax.lax.complex(y[0], y[1]).astype(x.dtype)
+
     xp = jnp.pad(x, (0, pad_cols - n_cols))
     if _use_pallas(pack, force):
-        interpret = force == "interpret"
-        if np.dtype(pack.val.dtype) == np.dtype(np.complex64):
-            x_t = xp.reshape(-1, LANES).T
-            vr, vi = jnp.real(pack.val), jnp.imag(pack.val)
-            xr, xi = jnp.real(x_t).astype(jnp.float32), jnp.imag(x_t).astype(jnp.float32)
-            args = (pack.seg_packed, pack.inv)
-            rr = _gell_tiles_pallas(args[0], vr, args[1], xr, n_chunks, ng, interpret)
-            ii = _gell_tiles_pallas(args[0], vi, args[1], xi, n_chunks, ng, interpret)
-            ri = _gell_tiles_pallas(args[0], vr, args[1], xi, n_chunks, ng, interpret)
-            ir = _gell_tiles_pallas(args[0], vi, args[1], xr, n_chunks, ng, interpret)
-            y = jax.lax.complex(rr - ii, ri + ir)
-        else:
-            x_t = xp.reshape(-1, LANES).T
-            y = _gell_tiles_pallas(pack.seg_packed, pack.val, pack.inv, x_t,
-                                   n_chunks, ng, interpret)
+        x_t = xp.astype(jnp.float32).reshape(-1, LANES).T \
+            .reshape(LANES, n_chunks, LANES).transpose(1, 0, 2)
+        y = _gell_tiles_pallas(pack.seg_packed, pack.val, pack.inv, x_t,
+                               n_chunks, ng, pack.scan_steps,
+                               force == "interpret").astype(x.dtype)
     else:
-        y = _gell_tiles_xla(pack.seg_packed, pack.val, pack.inv, xp, ng)
+        y = _gell_tiles_xla(pack.seg_packed, pack.val.astype(x.dtype),
+                            pack.inv, xp, ng, pack.scan_steps)
     y = y[:n_rows]
     if pack.n_spill:
-        y = y.at[pack.sp_rows].add(pack.sp_vals * jnp.take(x, pack.sp_cols, axis=0))
+        y = y.at[pack.sp_rows].add(pack.sp_vals.astype(x.dtype)
+                                   * jnp.take(x, pack.sp_cols, axis=0))
     return y

@@ -36,15 +36,16 @@ from .mesh import ROW_AXIS
 class PartitionedGELL:
     """A square operator row-partitioned over a 1-D mesh in GELL packs."""
 
-    seg_packed: jax.Array   # (n_shards * tiles_per_shard, 128, 128) int32
+    seg_packed: jax.Array   # (n_shards * tiles_per_shard, 128, 128) int16|int32
     val: jax.Array          # same shape, scalar dtype
-    inv: jax.Array          # (n_shards * tiles_per_shard, ng*128, 128) int32
+    inv: jax.Array          # (n_shards * tiles_per_shard, ng*128, 128) int8
     sp_rows: jax.Array      # (n_shards, max_spill) int32, shard-local row ids
     sp_cols: jax.Array      # (n_shards, max_spill) int32, global column ids
     sp_vals: jax.Array      # (n_shards, max_spill)
     n_orig: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     tile_rows: int = dataclasses.field(metadata=dict(static=True))
+    scan_steps: int = dataclasses.field(default=3, metadata=dict(static=True))
 
     @property
     def rows_per_shard(self) -> int:
@@ -75,13 +76,20 @@ def partition_gell(m: SparseCSR, mesh: Mesh, *, axis: str = ROW_AXIS,
     rows = np.asarray(m.rows, np.int64)
     cols = np.asarray(m.indices, np.int64)
     vals = np.asarray(m.data)
+    if np.dtype(vals.dtype).kind == "c":
+        raise ValueError("partition_gell: complex operators use the "
+                         "split-complex partitions (parallel/split_complex.py)")
     shard_of = rows // rps
 
     segs, valss, invs, spills = [], [], [], []
+    scan_steps = 0
     for s in range(n_shards):
         sel = shard_of == s
         p = pack_gell(rows[sel] - s * rps, cols[sel], vals[sel],
                       (rps, n), tile_rows=tile_rows)
+        # max over shards: extra scan steps are gated by per-entry mask
+        # bits, so the widest shard's depth is safe for all
+        scan_steps = max(scan_steps, p.scan_steps)
         segs.append(np.asarray(p.seg_packed))
         valss.append(np.asarray(p.val))
         invs.append(np.asarray(p.inv))
@@ -106,17 +114,19 @@ def partition_gell(m: SparseCSR, mesh: Mesh, *, axis: str = ROW_AXIS,
         sp_rows=jax.device_put(jnp.asarray(sp_r), sh2),
         sp_cols=jax.device_put(jnp.asarray(sp_c), sh2),
         sp_vals=jax.device_put(jnp.asarray(sp_v), sh2),
-        n_orig=n, n_shards=n_shards, tile_rows=tile_rows)
+        n_orig=n, n_shards=n_shards, tile_rows=tile_rows,
+        scan_steps=scan_steps)
 
 
 def gell_local_matvec(seg, val, inv, sp_r, sp_c, sp_v, x_full, *,
                       rps: int, n_cols: int, tile_rows: int,
-                      force: str | None = None):
+                      scan_steps: int = 3, force: str | None = None):
     """Local-block SpMV (runs inside shard_map; x_full is the gathered
     iterate). The local block IS a GELLPack over (rps, n_cols)."""
     pack = GELLPack(seg_packed=seg, val=val, inv=inv,
                     sp_rows=sp_r[0], sp_cols=sp_c[0], sp_vals=sp_v[0],
-                    shape=(rps, n_cols), tile_rows=tile_rows)
+                    shape=(rps, n_cols), tile_rows=tile_rows,
+                    scan_steps=scan_steps, is_complex=False)
     return gell_matvec(pack, x_full, force=force)
 
 
@@ -132,7 +142,7 @@ def distributed_gell_matvec(A: PartitionedGELL, x, mesh: Mesh, *,
         x_full = jax.lax.all_gather(x_local, axis, tiled=True)
         return gell_local_matvec(seg, val, inv, sp_r, sp_c, sp_v, x_full,
                                  rps=rps, n_cols=n, tile_rows=A.tile_rows,
-                                 force=force)
+                                 scan_steps=A.scan_steps, force=force)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -155,7 +165,8 @@ def _distributed_gell_power(A: PartitionedGELL, x0, max_iterations, tol,
         def matvec(x_local):
             x_full = jax.lax.all_gather(x_local, axis, tiled=True)
             return gell_local_matvec(seg, val, inv, sp_r, sp_c, sp_v, x_full,
-                                     rps=rps, n_cols=n, tile_rows=A.tile_rows)
+                                     rps=rps, n_cols=n, tile_rows=A.tile_rows,
+                                     scan_steps=A.scan_steps)
 
         return power_iteration_loop(
             matvec,

@@ -47,3 +47,28 @@ class TestHaloCommVolume:
         t_comm = comm["collective-permute"] / 0.4e12
         bound = t_compute / (t_compute + t_comm)
         assert bound >= 0.80
+
+
+class TestGELLPrunedCommVolume:
+    def test_plan_matches_hlo_and_is_n_independent(self):
+        from tools.scaling_report import build_gell_step
+        from pcsc_eigenvalue_solver_project_tpu.parallel.gell_pruned import _args
+        comms, plans = [], []
+        for n in (16384, 65536):
+            step, A, x0, nnz = build_gell_step(n, 16, 2, 8)
+            txt = step.lower(*_args(A, x0)).compile().as_text()
+            comms.append(collective_bytes(txt))
+            plans.append(A.comm_bytes_per_matvec)
+        # HLO collective-permute bytes == 2 matvecs x static plan bytes
+        assert comms[0]["collective-permute"] == 2 * plans[0]
+        assert comms[1]["collective-permute"] == 2 * plans[1]
+        # footprint-sized, not n-sized (all_gather would quadruple)
+        assert abs(plans[1] - plans[0]) <= 2 * 128 * 4
+
+    def test_efficiency_bound_clears_north_star(self):
+        from tools.scaling_report import build_gell_step
+        step, A, x0, nnz = build_gell_step(65536, 16, 2, 8)
+        local_bytes = nnz * 8 / 8
+        t_compute = local_bytes / 0.3e12
+        t_comm = A.comm_bytes_per_matvec / 0.4e12
+        assert t_compute / (t_compute + t_comm) >= 0.80

@@ -116,6 +116,76 @@ def build_step(n: int, bandwidth: int, n_devices: int):
     return step, A, x0, dia.nnz
 
 
+def build_gell_step(n: int, bandwidth: int, n_far: int, n_devices: int,
+                    seed: int = 0):
+    """Jitted distributed power step over the segment-pruned GELL
+    partition (parallel/gell_pruned.py) on a banded + long-range matrix —
+    the unstructured-sparsity counterpart of the DIA leg."""
+    from pcsc_eigenvalue_solver_project_tpu.matrix.sparse import SparseCSR
+    from pcsc_eigenvalue_solver_project_tpu.parallel.gell_pruned import (
+        _args, _in_specs, _local_matvec_factory, partition_gell_pruned)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import (
+        ROW_AXIS, make_row_mesh)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.sharded import (
+        psum_norm, psum_vdot)
+
+    rng = np.random.default_rng(seed)
+    r_b = np.repeat(np.arange(n), 2 * bandwidth + 1)
+    c_b = (r_b + np.tile(np.arange(-bandwidth, bandwidth + 1), n)).clip(0, n - 1)
+    # long-range entries confined to 8 fixed segments: footprint locality
+    far_cols = (rng.integers(0, 8, n * n_far) * 128
+                + rng.integers(0, 128, n * n_far)).clip(0, n - 1)
+    r = np.concatenate([r_b, np.repeat(np.arange(n), n_far)])
+    c = np.concatenate([c_b, far_cols])
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    key = r.astype(np.int64) * n + c
+    _, uniq = np.unique(key, return_index=True)
+    r, c, v = r[uniq], c[uniq], v[uniq]
+    csr = SparseCSR.from_coo(r, c, v, (n, n), dtype=np.float32)
+
+    mesh = make_row_mesh(n_devices)
+    A = partition_gell_pruned(csr, mesh, tile_rows=128)
+    body = _local_matvec_factory(A, ROW_AXIS)
+
+    def local_step(*args):
+        x_local = args[-1]
+        y = body(*args)
+        norm = psum_norm(y)
+        x_new = y / jnp.where(norm == 0, 1.0, norm).astype(y.dtype)
+        z = body(*args[:-1], x_new)
+        lam = psum_vdot(x_new, z)
+        return x_new, lam
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=_in_specs(A, ROW_AXIS),
+        out_specs=(P("rows"), P())))
+    x0 = jax.device_put(
+        jnp.ones((A.n_padded,), jnp.float32)
+        / np.sqrt(A.n_padded).astype(np.float32),
+        NamedSharding(mesh, P("rows")))
+    return step, A, x0, len(r)
+
+
+def measure_gell(n: int, bandwidth: int, n_far: int, devices, reps: int = 10):
+    rows = []
+    for nd in devices:
+        step, A, x0, nnz = build_gell_step(n, bandwidth, n_far, nd)
+        from pcsc_eigenvalue_solver_project_tpu.parallel.gell_pruned import _args
+        args = _args(A, x0)
+        compiled = step.lower(*args).compile()
+        comm = collective_bytes(compiled.as_text())
+        x, lam = step(*args)
+        jax.block_until_ready((x, lam))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x, lam = step(*_args(A, x))
+            jax.block_until_ready((x, lam))
+        dt = (time.perf_counter() - t0) / reps
+        rows.append(dict(n_devices=nd, step_s=dt, comm_bytes=comm, nnz=nnz,
+                         plan_bytes=A.comm_bytes_per_matvec))
+    return rows
+
+
 def measure(n: int, bandwidth: int, devices, reps: int = 30):
     rows = []
     for nd in devices:
@@ -168,6 +238,25 @@ def main():
             local_bytes=int(local_bytes), comm_bytes=int(comm_bytes),
             comm_fraction=t_comm / (t_comm + t_compute),
             efficiency_bound_no_overlap=t_compute / (t_compute + t_comm))
+    # ---- unstructured (segment-pruned GELL) leg -------------------------
+    # comm per step from the compiled HLO (2 matvecs/step), plus the
+    # static plan accounting; n-independence: same plan bytes at 4x rows
+    gell_rows = measure_gell(args.n, args.bandwidth, 2, [8], reps=3)
+    gell_small = measure_gell(args.n // 4, args.bandwidth, 2, [8], reps=3)[0]
+    g8 = gell_rows[0]
+    gell_flat = abs(g8["plan_bytes"] - gell_small["plan_bytes"]) <= 2 * 128 * 4
+    gell_eff = {}
+    for r in [g8]:
+        local_bytes = r["nnz"] * 8 / 8  # ~8 B/nnz pack traffic per device
+        comm_bytes = r["plan_bytes"]
+        t_compute = local_bytes / 0.3e12   # measured GELL effective BW
+        t_comm = comm_bytes / 0.4e12
+        gell_eff = dict(
+            local_bytes=int(local_bytes), comm_bytes=int(comm_bytes),
+            hlo_collective_bytes=r["comm_bytes"],
+            comm_fraction=t_comm / (t_comm + t_compute),
+            efficiency_bound_no_overlap=t_compute / (t_compute + t_comm))
+
     report = dict(
         metric="spmv_scaling_efficiency_bound_8dev",
         value=round(eff[8]["efficiency_bound_no_overlap"], 4),
@@ -177,6 +266,15 @@ def main():
         halo_bytes_n_independent=halo_n_independent,
         per_device=eff,
         fake_mesh_step_s={r["n_devices"]: round(r["step_s"], 6) for r in rows},
+        gell_pruned=dict(
+            efficiency_bound_8dev=round(
+                gell_eff["efficiency_bound_no_overlap"], 4),
+            plan_bytes_n_independent=gell_flat,
+            plan_bytes=g8["plan_bytes"],
+            plan_bytes_quarter_n=gell_small["plan_bytes"],
+            allgather_bytes_equiv=7 * args.n // 8 * 4,
+            **{k: v for k, v in gell_eff.items()
+               if k in ("comm_fraction", "hlo_collective_bytes")}),
     )
     if not args.json_only:
         for r in rows:
