@@ -34,6 +34,28 @@ from .sharded import (PartitionedELL, psum_norm, psum_vdot, spmv_all_gather,
 def _distributed_arnoldi(A, x0: jax.Array, m: int,
                          mesh: Mesh, axis: str, exchange: str):
     from .dia import PartitionedDIA, dia_halo_window, dia_window_matvec
+    from .gell_pruned import (PrunedGELL, _args, _in_specs,
+                              _local_matvec_factory)
+    if isinstance(A, PrunedGELL):
+        # segment-pruned unstructured operator: comm scales with the
+        # column footprint (gell_pruned.py), basis build unchanged
+        body_fn = _local_matvec_factory(A, axis)
+
+        def local_pruned(*args):
+            x0_local = args[-1]
+
+            def matvec(x_local):
+                return body_fn(*args[:-1], x_local)
+
+            return arnoldi_decomposition(
+                matvec, x0_local, m,
+                vdot=lambda a, b: psum_vdot(a, b, axis=axis),
+                norm=lambda v: psum_norm(v, axis=axis))
+
+        return jax.shard_map(
+            local_pruned, mesh=mesh, in_specs=_in_specs(A, axis),
+            out_specs=(P(None, axis), P(), P()),
+        )(*_args(A, x0))
     is_dia = isinstance(A, PartitionedDIA)
     if not is_dia:
         body = spmv_halo if exchange == "halo" else spmv_all_gather
