@@ -255,11 +255,14 @@ def _decode_seg(seg_arr):
 
 
 def _scan_runs(p, word, bits, scan_steps: int, roll):
-    """Masked Hillis-Steele suffix scan: sum runs into their head slots."""
-    zero = jnp.zeros((), p.dtype)
+    """Masked Hillis-Steele suffix scan: sum runs into their head slots.
+
+    The mask is applied as a float multiplier (p += roll * m) rather than
+    a select — measured marginally faster on-chip and never slower
+    (the kernel is VPU-op-bound, see BENCH notes)."""
     for k, bit in list(zip((1, 2, 4), bits))[:scan_steps]:
-        m = (word & bit) > 0
-        p = p + jnp.where(m, roll(p, k), zero)
+        m = ((word & bit) > 0).astype(p.dtype)
+        p = p + roll(p, k) * m
     return p
 
 
@@ -273,14 +276,16 @@ def _decode_inv(inv8):
 # ---------------------------------------------------------------------------
 
 def _gather_chunks(seg, xt_ref, n_chunks, plane=None):
-    """x value for every slot: one lane-gather per 128-segment chunk."""
+    """x value for every slot: one lane-gather per 128-segment chunk.
+    Accumulates via float-mask multiply (never slower than a select on
+    this VPU, occasionally faster)."""
     s_lo = seg & (LANES - 1)
     s_hi = seg >> 7
     t = jnp.zeros((LANES, LANES), jnp.float32)
     for c in range(n_chunks):
         src = xt_ref[c] if plane is None else xt_ref[plane, c]
         g = jnp.take_along_axis(src, s_lo, axis=1)
-        t = jnp.where(s_hi == c, g, t)
+        t = t + g * (s_hi == c).astype(jnp.float32)
     return t
 
 

@@ -1,0 +1,396 @@
+"""Pallas TPU kernel: blocked Hessenberg reduction with HBM-resident planes.
+
+Lifts the n <= 768 VMEM cap of ``qr_kernels.hessenberg_planes`` (VERDICT
+r2 task 7): the matrix planes stay in HBM (``pl.ANY``) and the kernel
+streams row slabs through double-buffered VMEM windows, so f32/c64 inputs
+run fully on-chip at n >= 2048 instead of silently rerouting to the host
+CPU. Same similarity-transform semantics as the reference per-column
+Householder reduction (/root/reference/src/qr_method/to_hessenberg.hpp:
+23-80 — tail-zero skip :46-48, phase-correct sign :51-57, degenerate
+skip :62-64), reorganised as the compact-WY blocked algorithm so the
+trailing update is MXU GEMMs instead of per-column rank-2 updates:
+
+Per panel of ``nb`` columns starting at k0 (validated against the
+unblocked reduction in tools/… prototype and tests/test_qr_blocked.py):
+
+1. Panel columns ``A0[:, k0:k0+nb]`` are DMA'd once into VMEM.
+2. Per column j (k = k0+j): the current column is reconstructed from the
+   panel copy plus compact-WY corrections
+   ``c = A0 e_k - Z T V^H e_k``; ``c -= V T^H V^H c``; the reflector
+   ``v_j`` (tau in {0,2}) is built exactly like the reference; T and V
+   grow by one column; ``z_j = A0 v_j`` is THE streamed matvec (row
+   slabs of A0 DMA'd from HBM, MXU matvec per slab).
+3. Panel end: the trailing matrix update
+   ``A := (I - V T^H V^H)(A0 - (Z T) V^H)`` is two streamed GEMM passes
+   (P = V^H A0, then A -= Y V^H + V W with W = T^H P - (T^H V^H Y) V^H).
+
+All matmuls run at HIGHEST precision; complex inputs are split re/im
+planes with 4-real-product expansion (no complex dtypes in Pallas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _dotT(a, b):
+    """a^T @ b without materializing the transpose (contract dim 0)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _dot_nt(a, b):
+    """a @ b^T without materializing the transpose (contract dim 1)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _rT(a, M):
+    """(1, k) row times M^T for M (m, k) -> (1, m); equals (M a^T)^T."""
+    return jax.lax.dot_general(a, M, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _rM(a, M):
+    """(1, k) row times M (k, m) -> (1, m)."""
+    return jax.lax.dot_general(a, M, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _outer(a_row, b_row):
+    """a^T b for (1, m) and (1, n) rows -> (m, n) rank-1 update."""
+    return jax.lax.dot_general(a_row, b_row, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _cmul_mv(Ar, Ai, xr, xi, conj_a=False):
+    """(Ar + i Ai) @ (xr + i xi) -> (re, im); conj_a conjugates A."""
+    s = -1.0 if conj_a else 1.0
+    re = _dot(Ar, xr) - s * _dot(Ai, xi)
+    im = s * _dot(Ai, xr) + _dot(Ar, xi)
+    return re, im
+
+
+def _hess_blocked_kernel(scal_ref, h_ref, out_ref, nout_ref, pan, V, Z, W,
+                         T, slab, sems, *, n_planes: int, np_: int, nb: int,
+                         slab_r: int):
+    """Whole blocked reduction in one kernel launch (grid=()).
+
+    Scratch layouts (all f32):
+      pan : (n_planes, np_, 128)  panel columns, DMA'd at 128-aligned base
+      V   : (n_planes, np_, nb)   reflectors (col j = v_{k0+j})
+      Z   : (n_planes, np_, nb)   Z = A0 V ; becomes Y = Z T at panel end
+      W   : (n_planes, nb, np_)   P = V^H A0 then W
+      T   : (n_planes, nb, nb)    compact-WY T (tau = 2 on diag)
+      slab: (2, n_planes, slab_r, np_) double-buffered row-slab windows
+    """
+    n = scal_ref[0]
+    two = n_planes == 2
+    n_slabs = np_ // slab_r
+    n_panels = np_ // nb
+
+    lane_np = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    lane_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    del h_ref  # aliased with out_ref — all access goes through out_ref
+
+    def slab_dma(buf_slot, si, direction):
+        """HBM<->VMEM copy of row slab si (both planes as one copy)."""
+        hbm = out_ref.at[:, pl.ds(si * slab_r, slab_r), :]
+        dst = slab.at[buf_slot]
+        if direction == "in":
+            return pltpu.make_async_copy(hbm, dst, sems.at[buf_slot])
+        return pltpu.make_async_copy(dst, hbm, sems.at[buf_slot])
+
+    def panel_body(pi, _carry):
+        k0 = pi * nb
+        base = (k0 // LANES) * LANES      # 128-aligned panel DMA base
+        half = k0 - base                  # 0 or 64 when nb == 64
+
+        @pl.when(k0 < jnp.maximum(n - 2, 0))
+        def _():
+            # ---- 1. fetch panel columns --------------------------------
+            pdma = pltpu.make_async_copy(
+                out_ref.at[:, :, pl.ds(base, LANES)],
+                pan, sems.at[2])
+            pdma.start()
+            pdma.wait()
+            for p in range(n_planes):
+                V[p] = jnp.zeros((np_, nb), jnp.float32)
+                Z[p] = jnp.zeros((np_, nb), jnp.float32)
+                T[p] = jnp.zeros((nb, nb), jnp.float32)
+
+            # ---- 2. reflector loop -------------------------------------
+            # Every plane-length vector lives in (1, np_) LANE-ROW form:
+            # an (np_, 1) column occupies 128x its bytes in (8, 128)
+            # tiling, and ~10 live column temporaries blew the 16 MB
+            # scoped-VMEM budget at n = 2048. Contractions use
+            # dot_general so no transpose is ever materialized.
+            def col_body(j, _c):
+                k = k0 + j
+                e_pan = ((jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                          == half + j)).astype(jnp.float32)
+                e_nb = (lane_nb == j).astype(jnp.float32)   # (1, nb)
+                cr = _rT(e_pan, pan[0])                     # (1, np_)
+                ci = _rT(e_pan, pan[1]) if two else None
+
+                # compact-WY corrections: c -= Z T V^H e_k ; c -= V T^H V^H c
+                e_k = (lane_np == k).astype(jnp.float32)    # (1, np_)
+                vrow_r = _rM(e_k, V[0])                     # (1, nb): V[k,:]
+                vrow_i = _rM(e_k, V[1]) if two else None
+                if two:
+                    # t1 = (T @ conj(V[k,:])^T)^T = conj(V[k,:]) @ T^T
+                    ar, ai = vrow_r, -vrow_i
+                    t1r = _rT(ar, T[0]) - _rT(ai, T[1])
+                    t1i = _rT(ar, T[1]) + _rT(ai, T[0])
+                    cr = cr - (_rT(t1r, Z[0]) - _rT(t1i, Z[1]))
+                    ci = ci - (_rT(t1r, Z[1]) + _rT(t1i, Z[0]))
+                    # u = (V^H c)^T = c @ conj(V)
+                    ur = _rM(cr, V[0]) + _rM(ci, V[1])
+                    ui = _rM(ci, V[0]) - _rM(cr, V[1])
+                    # t2 = (T^H u)^T = u @ conj(T)
+                    t2r = _rM(ur, T[0]) + _rM(ui, T[1])
+                    t2i = _rM(ui, T[0]) - _rM(ur, T[1])
+                    cr = cr - (_rT(t2r, V[0]) - _rT(t2i, V[1]))
+                    ci = ci - (_rT(t2r, V[1]) + _rT(t2i, V[0]))
+                else:
+                    t1 = _rT(vrow_r, T[0])
+                    cr = cr - _rT(t1, Z[0])
+                    u = _rM(cr, V[0])
+                    cr = cr - _rT(_rM(u, T[0]), V[0])
+
+                # reflector (to_hessenberg.hpp:38-77 semantics)
+                mask_tail = (lane_np >= k + 1).astype(jnp.float32)
+                xr = cr * mask_tail
+                xi = ci * mask_tail if two else None
+                nrm2 = jnp.sum(xr * xr) + (jnp.sum(xi * xi) if two else 0.0)
+                norm_x = jnp.sqrt(nrm2)
+                mask_t2 = (lane_np >= k + 2).astype(jnp.float32)
+                tail2 = jnp.sum(cr * cr * mask_t2) + (
+                    jnp.sum(ci * ci * mask_t2) if two else 0.0)
+                tail_zero = tail2 == 0.0
+                e_k1 = (lane_np == k + 1).astype(jnp.float32)
+                x0r = jnp.sum(cr * e_k1)
+                x0i = jnp.sum(ci * e_k1) if two else zero
+                m0 = jnp.sqrt(x0r * x0r + x0i * x0i)
+                has0 = m0 > 0.0
+                m0s = jnp.where(has0, m0, one)
+                sgr = jnp.where(has0, x0r / m0s, one)
+                sgi = jnp.where(has0, x0i / m0s, zero)
+                vr = xr + sgr * norm_x * e_k1               # (1, np_)
+                vi = (xi + sgi * norm_x * e_k1) if two else None
+                vn2 = jnp.sum(vr * vr) + (jnp.sum(vi * vi) if two else 0.0)
+                degenerate = vn2 == 0.0
+                vinv = jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+                tau = jnp.where(jnp.logical_or(tail_zero, degenerate),
+                                zero, 2.0 * one)
+                vr = vr * vinv * jnp.where(tau > 0, one, zero)
+                if two:
+                    vi = vi * vinv * jnp.where(tau > 0, one, zero)
+
+                # T[:, j] = -tau * T @ (V^H v);  T[j, j] = tau
+                sr_ = _rM(vr, V[0]) + (_rM(vi, V[1]) if two else 0.0)
+                if two:
+                    si_ = _rM(vi, V[0]) - _rM(vr, V[1])
+                    tcr = -tau * (_rT(sr_, T[0]) - _rT(si_, T[1]))
+                    tci = -tau * (_rT(sr_, T[1]) + _rT(si_, T[0]))
+                else:
+                    tcr = -tau * _rT(sr_, T[0])
+                below_j = (lane_nb < j).astype(jnp.float32)   # (1, nb)
+                diag_j = tau * e_nb
+                T[0] = T[0] + _outer(tcr * below_j + diag_j, e_nb)
+                if two:
+                    T[1] = T[1] + _outer(tci * below_j, e_nb)
+
+                # V[:, j] = v
+                V[0] = V[0] + _outer(vr, e_nb)
+                if two:
+                    V[1] = V[1] + _outer(vi, e_nb)
+
+                # z_j = A0 v_j : streamed row slabs, double-buffered
+                slab_dma(0, 0, "in").start()
+
+                def mv_slab(si, acc):
+                    cur = si % 2
+                    @pl.when(si + 1 < n_slabs)
+                    def _():
+                        slab_dma((si + 1) % 2, si + 1, "in").start()
+                    slab_dma(cur, si, "in").wait()
+                    rows = pl.ds(si * slab_r, slab_r)
+                    keep = (1.0 - e_nb)
+                    if two:
+                        zr_s = _dot_nt(slab[cur, 0], vr) \
+                            - _dot_nt(slab[cur, 1], vi)    # (slab_r, 1)
+                        zi_s = _dot_nt(slab[cur, 0], vi) \
+                            + _dot_nt(slab[cur, 1], vr)
+                        Z[0, rows] = Z[0, rows] * keep + _dot(zr_s, e_nb)
+                        Z[1, rows] = Z[1, rows] * keep + _dot(zi_s, e_nb)
+                    else:
+                        z_s = _dot_nt(slab[cur, 0], vr)
+                        Z[0, rows] = Z[0, rows] * keep + _dot(z_s, e_nb)
+                    return acc
+
+                jax.lax.fori_loop(0, n_slabs, mv_slab, 0)
+                return _c
+
+            nb_live = jnp.clip(n - 2 - k0, 0, nb)
+            jax.lax.fori_loop(0, nb_live, col_body, 0)
+
+            # ---- 3. blocked trailing update ----------------------------
+            # P = V^H A0 (streamed); accumulate into W
+            for p in range(n_planes):
+                W[p] = jnp.zeros((nb, np_), jnp.float32)
+            slab_dma(0, 0, "in").start()
+
+            def p_slab(si, acc):
+                cur = si % 2
+                @pl.when(si + 1 < n_slabs)
+                def _():
+                    slab_dma((si + 1) % 2, si + 1, "in").start()
+                slab_dma(cur, si, "in").wait()
+                rows = pl.ds(si * slab_r, slab_r)
+                if two:
+                    vsr = V[0, rows]
+                    vsi = V[1, rows]
+                    W[0] = W[0] + _dotT(vsr, slab[cur, 0]) \
+                        + _dotT(vsi, slab[cur, 1])
+                    W[1] = W[1] + _dotT(vsr, slab[cur, 1]) \
+                        - _dotT(vsi, slab[cur, 0])
+                else:
+                    W[0] = W[0] + _dotT(V[0, rows], slab[cur, 0])
+                return acc
+
+            jax.lax.fori_loop(0, n_slabs, p_slab, 0)
+
+            # Y = Z T (overwrite Z); G2 = T^H (V^H Y); W = T^H P - G2 V^H
+            if two:
+                yr = _dot(Z[0], T[0]) - _dot(Z[1], T[1])
+                yi = _dot(Z[0], T[1]) + _dot(Z[1], T[0])
+                Z[0] = yr
+                Z[1] = yi
+                vyr = _dotT(V[0], Z[0]) + _dotT(V[1], Z[1])
+                vyi = _dotT(V[0], Z[1]) - _dotT(V[1], Z[0])
+                g2r = _dotT(T[0], vyr) + _dotT(T[1], vyi)
+                g2i = _dotT(T[0], vyi) - _dotT(T[1], vyr)
+                pr = _dotT(T[0], W[0]) + _dotT(T[1], W[1])
+                pi_ = _dotT(T[0], W[1]) - _dotT(T[1], W[0])
+                W[0] = pr - (_dot_nt(g2r, V[0]) + _dot_nt(g2i, V[1]))
+                W[1] = pi_ - (_dot_nt(g2i, V[0]) - _dot_nt(g2r, V[1]))
+            else:
+                Z[0] = _dot(Z[0], T[0])
+                g2 = _dot(T[0].T, _dotT(V[0], Z[0]))
+                W[0] = _dotT(T[0], W[0]) - _dot_nt(g2, V[0])
+
+            # A := A0 - Y V^H - V W  (streamed read-modify-write)
+            slab_dma(0, 0, "in").start()
+
+            row_in_slab = jax.lax.broadcasted_iota(
+                jnp.int32, (slab_r, np_), 0)
+            col_in_slab = jax.lax.broadcasted_iota(
+                jnp.int32, (slab_r, np_), 1)
+
+            def upd_slab(si, acc):
+                cur = si % 2
+                @pl.when(si + 1 < n_slabs)
+                def _():
+                    slab_dma((si + 1) % 2, si + 1, "in").start()
+                slab_dma(cur, si, "in").wait()
+                rows = pl.ds(si * slab_r, slab_r)
+                if two:
+                    # Y V^H : (Yr + iYi)(Vr - iVi)^T
+                    ar = _dot_nt(Z[0, rows], V[0]) + _dot_nt(Z[1, rows], V[1])
+                    ai = _dot_nt(Z[1, rows], V[0]) - _dot_nt(Z[0, rows], V[1])
+                    br = _dot(V[0, rows], W[0]) - _dot(V[1, rows], W[1])
+                    bi = _dot(V[0, rows], W[1]) + _dot(V[1, rows], W[0])
+                    slab[cur, 0] = slab[cur, 0] - ar - br
+                    slab[cur, 1] = slab[cur, 1] - ai - bi
+                else:
+                    slab[cur, 0] = slab[cur, 0] - _dot_nt(Z[0, rows], V[0]) \
+                        - _dot(V[0, rows], W[0])
+                # exact zeros below the subdiagonal of the panel columns
+                # (the blocked GEMM update leaves f32 noise there; the
+                # reference's eliminated entries are computed zeros)
+                grow = si * slab_r + row_in_slab
+                in_panel = jnp.logical_and(
+                    col_in_slab >= k0,
+                    col_in_slab < jnp.minimum(k0 + nb, n - 2))
+                keep_z = jnp.logical_not(jnp.logical_and(
+                    in_panel, grow >= col_in_slab + 2)).astype(jnp.float32)
+                slab[cur, 0] = slab[cur, 0] * keep_z
+                if two:
+                    slab[cur, 1] = slab[cur, 1] * keep_z
+                wb = slab_dma(cur, si, "out")
+                wb.start()
+                wb.wait()
+                return acc
+
+            jax.lax.fori_loop(0, n_slabs, upd_slab, 0)
+
+        return _carry
+
+    jax.lax.fori_loop(0, n_panels, panel_body, 0)
+    nout_ref[0] = n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
+                              interpret: bool = False) -> jax.Array:
+    """Blocked Hessenberg reduction of split planes, HBM-resident.
+
+    ``planes``: (n_planes, m, m) f32 (1 = real, 2 = re/im), live region
+    the top-left (n, n), padding zero. Returns planes of the same shape.
+    Handles any m the chip's HBM holds (VMEM footprint is O(n * nb)).
+    """
+    n_planes, m, _ = planes.shape
+    np_ = max(_round_up(m, LANES), 2 * LANES)
+    nb = 64
+    slab_r = 64
+    p = jnp.pad(planes.astype(jnp.float32),
+                ((0, 0), (0, np_ - m), (0, np_ - m)))
+    out, _ = pl.pallas_call(
+        functools.partial(_hess_blocked_kernel, n_planes=n_planes, np_=np_,
+                          nb=nb, slab_r=slab_r),
+        out_shape=(jax.ShapeDtypeStruct((n_planes, np_, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, np_, LANES), jnp.float32),   # pan
+            pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # V
+            pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # Z
+            pltpu.VMEM((n_planes, nb, np_), jnp.float32),      # W
+            pltpu.VMEM((n_planes, nb, nb), jnp.float32),       # T
+            pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),  # slab
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(n, jnp.int32).reshape(1), p)
+    return out[:, :m, :m]

