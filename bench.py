@@ -148,6 +148,13 @@ def bench_general(n: int, nnz_per_row: int, verbose: bool):
     run_gell = power_chain(lambda p, x: gell_matvec(p, x))
     results["pallas_gell"] = nnz / _marginal_time(run_gell, (pack,), lo=20, hi=220)
 
+    # bf16 values variant: halves the value-plane HBM bytes. The kernel
+    # is VPU-op-bound, not bandwidth-bound (see tools/gell_micro.py
+    # ablation + docs/PERF_NOTES.md), so this tracks f32 closely — the
+    # line is recorded for the roofline accounting, not as a speedup.
+    results["pallas_gell_bf16"] = nnz / _marginal_time(
+        run_gell, (pack.with_values_dtype(jnp.bfloat16),), lo=20, hi=220)
+
     csr = SparseCSR.from_coo(rows, cols, vals, (n, n), dtype=np.float32)
     ell = csr.to_ell()
     run_ell = power_chain(lambda ops, x: ell_matvec(ops[0], ops[1], x))
@@ -270,6 +277,27 @@ def bench_qr(n: int, verbose: bool):
         out = fn()
         return time.perf_counter() - t0, out
 
+    if n > 768:
+        # beyond the in-VMEM kernels: HBM-blocked on-chip path. The
+        # parity (unshifted) baseline cannot converge at this scale in
+        # any budget, so the baseline is the host LAPACK eigensolver
+        # (what the pre-blocked CPU fallback amounted to):
+        # vs_baseline = lapack_wall / onchip_wall.
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
+            import qr_eigenvalues_pallas_blocked
+        accel_wall, (eig_a, sweeps_a, conv_a) = timed(
+            lambda: qr_eigenvalues_pallas_blocked(a, 40 * n, tol))
+        t0 = time.perf_counter()
+        _ = np.linalg.eigvals(a)
+        lapack_wall = time.perf_counter() - t0
+        err_a = np.abs(np.sort(eig_a.real) - np.sort(d)).max()
+        if verbose:
+            print(f"# qr {n} (blocked): on-chip {accel_wall:.2f}s "
+                  f"({sweeps_a} sweeps, conv={conv_a}, err={err_a:.1e}) | "
+                  f"host LAPACK {lapack_wall:.2f}s", file=sys.stderr)
+        vs = lapack_wall / accel_wall if conv_a else 0.0
+        return accel_wall, bool(conv_a), vs
+
     accel_wall, (eig_a, sweeps_a, conv_a) = timed(
         lambda: qr_eigenvalues_pallas(a, 20 * n, tol))
     parity_wall, (eig_p, it_p, conv_p, maxsub) = timed(
@@ -284,6 +312,55 @@ def bench_qr(n: int, verbose: bool):
               file=sys.stderr)
     vs = parity_wall / accel_wall if (conv_a and conv_p) else 0.0
     return accel_wall, bool(conv_a), vs
+
+
+def bench_gmres(verbose: bool):
+    """Real-chip GMRES smoke (VERDICT r2 task 5): inner_method='gmres'
+    compiles and converges on the accelerator backend — interior complex
+    shift near an eigenvalue of a 320-row banded split-complex operator
+    (the near-singular case the inner GMRES exists for,
+    solve_shifted.hpp:104-115). Reports warm wall-clock and eigenvalue
+    error vs the numpy oracle."""
+    from pcsc_eigenvalue_solver_project_tpu import (
+        ShiftedSolverOptions, shifted_inverse_power_method)
+    from pcsc_eigenvalue_solver_project_tpu.matrix.split_complex import (
+        SplitComplexDIA)
+    from pcsc_eigenvalue_solver_project_tpu.ops.split_complex import (
+        from_planes)
+
+    n = 320
+    rng = np.random.default_rng(0)
+    offs = (-2, 0, 1)
+    planes = np.zeros((2, len(offs), n), np.float32)
+    for d, off in enumerate(offs):
+        planes[0, d] = rng.standard_normal(n)
+        planes[1, d] = rng.standard_normal(n)
+        if off > 0:
+            planes[:, d, n - off:] = 0
+        elif off < 0:
+            planes[:, d, :-off] = 0
+    planes[0, 1] += 4.0
+    sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                         shape=(n, n))
+    ev = np.linalg.eigvals(sc.to_complex_dense())
+    target = ev[np.argmin(np.abs(ev - (4.0 + 1.5j)))]
+    shift = complex(target + 0.05 * (1 + 1j))
+    opts = ShiftedSolverOptions(shift=shift, max_iterations=200,
+                                tolerance=1e-5, inner_method="gmres",
+                                inner_tolerance=1e-6)
+    key = jax.random.key(7)
+    r = shifted_inverse_power_method(sc, opts, key=key)   # compile+warm
+    t0 = time.perf_counter()
+    r = shifted_inverse_power_method(sc, opts, key=key)
+    lam = from_planes(np.asarray(jax.device_get(r.eigenvalue)))
+    wall = time.perf_counter() - t0
+    err = abs(lam - target) / (1 + abs(target))
+    if verbose:
+        print(f"# gmres n={n} backend={jax.default_backend()}: "
+              f"lam={lam:.6f} conv={bool(r.converged)} "
+              f"iters={int(r.iterations)} err={err:.2e} wall={wall:.2f}s",
+              file=sys.stderr)
+    return wall, float(err), int(r.iterations)
 
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
@@ -320,7 +397,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--suite", default="spmv",
-                    choices=["spmv", "qr", "block", "complex", "general"])
+                    choices=["spmv", "qr", "block", "complex", "general",
+                             "gmres"])
     ap.add_argument("--nvec", type=int, default=8)
     ap.add_argument("--nnz-per-row", type=int, default=33)
     ap.add_argument("--qr-n", type=int, default=512)
@@ -358,6 +436,15 @@ def main():
             "value": round(best, 1),
             "unit": "nnz/s",
             "vs_baseline": round(best / results["il_planes_f32"], 3),
+        })
+        return
+    if args.suite == "gmres":
+        wall, err, iters = bench_gmres(verbose=not args.json_only)
+        _emit_and_cache({
+            "metric": "gmres_inverse_power_onchip_n320",
+            "value": round(wall, 3),
+            "unit": "s",
+            "vs_baseline": round(err, 9),   # eigenvalue error vs oracle
         })
         return
     if args.suite == "qr":

@@ -94,9 +94,8 @@ def _cmul_mv(Ar, Ai, xr, xi, conj_a=False):
     return re, im
 
 
-def _hess_blocked_kernel(scal_ref, h_ref, out_ref, nout_ref, pan, V, Z, W,
-                         T, slab, sems, *, n_planes: int, np_: int, nb: int,
-                         slab_r: int):
+def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
+                         nb: int, slab_r: int, accumulate_q: bool = False):
     """Whole blocked reduction in one kernel launch (grid=()).
 
     Scratch layouts (all f32):
@@ -107,6 +106,14 @@ def _hess_blocked_kernel(scal_ref, h_ref, out_ref, nout_ref, pan, V, Z, W,
       T   : (n_planes, nb, nb)    compact-WY T (tau = 2 on diag)
       slab: (2, n_planes, slab_r, np_) double-buffered row-slab windows
     """
+    if accumulate_q:
+        # inputs: (scal, h, q_eye); outputs: (h, n, q); then scratch
+        (q_in, out_ref, nout_ref, q_ref,
+         pan, V, Z, W, T, slab, sems) = refs
+        del q_in  # aliased with q_ref
+    else:
+        out_ref, nout_ref, pan, V, Z, W, T, slab, sems = refs
+        q_ref = None
     n = scal_ref[0]
     two = n_planes == 2
     n_slabs = np_ // slab_r
@@ -119,9 +126,10 @@ def _hess_blocked_kernel(scal_ref, h_ref, out_ref, nout_ref, pan, V, Z, W,
 
     del h_ref  # aliased with out_ref — all access goes through out_ref
 
-    def slab_dma(buf_slot, si, direction):
+    def slab_dma(buf_slot, si, direction, ref=None):
         """HBM<->VMEM copy of row slab si (both planes as one copy)."""
-        hbm = out_ref.at[:, pl.ds(si * slab_r, slab_r), :]
+        hbm = (out_ref if ref is None else ref) \
+            .at[:, pl.ds(si * slab_r, slab_r), :]
         dst = slab.at[buf_slot]
         if direction == "in":
             return pltpu.make_async_copy(hbm, dst, sems.at[buf_slot])
@@ -351,20 +359,84 @@ def _hess_blocked_kernel(scal_ref, h_ref, out_ref, nout_ref, pan, V, Z, W,
 
             jax.lax.fori_loop(0, n_slabs, upd_slab, 0)
 
+            if accumulate_q:
+                # Q := Q (I - V T V^H) = Q - (Q V) T V^H.
+                # pass A: QV = Q @ V accumulated into the free pan buffer
+                for p_ in range(n_planes):
+                    pan[p_, :, 0:nb] = jnp.zeros((np_, nb), jnp.float32)
+                slab_dma(0, 0, "in", q_ref).start()
+
+                def qv_slab(si, acc):
+                    cur = si % 2
+                    @pl.when(si + 1 < n_slabs)
+                    def _():
+                        slab_dma((si + 1) % 2, si + 1, "in", q_ref).start()
+                    slab_dma(cur, si, "in", q_ref).wait()
+                    rows = pl.ds(si * slab_r, slab_r)
+                    if two:
+                        pan[0, rows, 0:nb] = _dot(slab[cur, 0], V[0]) \
+                            - _dot(slab[cur, 1], V[1])
+                        pan[1, rows, 0:nb] = _dot(slab[cur, 0], V[1]) \
+                            + _dot(slab[cur, 1], V[0])
+                    else:
+                        pan[0, rows, 0:nb] = _dot(slab[cur, 0], V[0])
+                    return acc
+
+                jax.lax.fori_loop(0, n_slabs, qv_slab, 0)
+                # M = (Q V) T, overwrite the pan slice
+                if two:
+                    mr = _dot(pan[0, :, 0:nb], T[0]) \
+                        - _dot(pan[1, :, 0:nb], T[1])
+                    mi = _dot(pan[0, :, 0:nb], T[1]) \
+                        + _dot(pan[1, :, 0:nb], T[0])
+                    pan[0, :, 0:nb] = mr
+                    pan[1, :, 0:nb] = mi
+                else:
+                    pan[0, :, 0:nb] = _dot(pan[0, :, 0:nb], T[0])
+                # pass B: Q -= M V^H
+                slab_dma(0, 0, "in", q_ref).start()
+
+                def qupd_slab(si, acc):
+                    cur = si % 2
+                    @pl.when(si + 1 < n_slabs)
+                    def _():
+                        slab_dma((si + 1) % 2, si + 1, "in", q_ref).start()
+                    slab_dma(cur, si, "in", q_ref).wait()
+                    rows = pl.ds(si * slab_r, slab_r)
+                    if two:
+                        ar = _dot_nt(pan[0, rows, 0:nb], V[0]) \
+                            + _dot_nt(pan[1, rows, 0:nb], V[1])
+                        ai = _dot_nt(pan[1, rows, 0:nb], V[0]) \
+                            - _dot_nt(pan[0, rows, 0:nb], V[1])
+                        slab[cur, 0] = slab[cur, 0] - ar
+                        slab[cur, 1] = slab[cur, 1] - ai
+                    else:
+                        slab[cur, 0] = slab[cur, 0] \
+                            - _dot_nt(pan[0, rows, 0:nb], V[0])
+                    wb = slab_dma(cur, si, "out", q_ref)
+                    wb.start()
+                    wb.wait()
+                    return acc
+
+                jax.lax.fori_loop(0, n_slabs, qupd_slab, 0)
+
         return _carry
 
     jax.lax.fori_loop(0, n_panels, panel_body, 0)
     nout_ref[0] = n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
 def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              accumulate_q: bool = False):
     """Blocked Hessenberg reduction of split planes, HBM-resident.
 
     ``planes``: (n_planes, m, m) f32 (1 = real, 2 = re/im), live region
-    the top-left (n, n), padding zero. Returns planes of the same shape.
-    Handles any m the chip's HBM holds (VMEM footprint is O(n * nb)).
+    the top-left (n, n), padding zero. Returns planes of the same shape —
+    or ``(h_planes, q_planes)`` with ``A = Q H Q^H`` when
+    ``accumulate_q`` (Q updated per panel as two extra streamed GEMM
+    passes). Handles any m the chip's HBM holds (VMEM is O(n * nb)).
     """
     n_planes, m, _ = planes.shape
     np_ = max(_round_up(m, LANES), 2 * LANES)
@@ -372,6 +444,38 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     slab_r = 64
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
+    scratch = [
+        pltpu.VMEM((n_planes, np_, LANES), jnp.float32),   # pan
+        pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # V
+        pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # Z
+        pltpu.VMEM((n_planes, nb, np_), jnp.float32),      # W
+        pltpu.VMEM((n_planes, nb, nb), jnp.float32),       # T
+        pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),  # slab
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    if accumulate_q:
+        eye = jnp.zeros((n_planes, np_, np_), jnp.float32)
+        eye = eye.at[0].set(jnp.eye(np_, dtype=jnp.float32))
+        out, _, q = pl.pallas_call(
+            functools.partial(_hess_blocked_kernel, n_planes=n_planes,
+                              np_=np_, nb=nb, slab_r=slab_r,
+                              accumulate_q=True),
+            out_shape=(jax.ShapeDtypeStruct((n_planes, np_, np_),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((1,), jnp.int32),
+                       jax.ShapeDtypeStruct((n_planes, np_, np_),
+                                            jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.HBM)),
+            input_output_aliases={1: 0, 2: 2},
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), p, eye)
+        return out[:, :m, :m], q[:, :m, :m]
     out, _ = pl.pallas_call(
         functools.partial(_hess_blocked_kernel, n_planes=n_planes, np_=np_,
                           nb=nb, slab_r=slab_r),
@@ -382,15 +486,7 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         input_output_aliases={1: 0},
-        scratch_shapes=[
-            pltpu.VMEM((n_planes, np_, LANES), jnp.float32),   # pan
-            pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # V
-            pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # Z
-            pltpu.VMEM((n_planes, nb, np_), jnp.float32),      # W
-            pltpu.VMEM((n_planes, nb, nb), jnp.float32),       # T
-            pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),  # slab
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(n, jnp.int32).reshape(1), p)
     return out[:, :m, :m]

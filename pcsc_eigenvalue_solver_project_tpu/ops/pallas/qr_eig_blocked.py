@@ -60,11 +60,21 @@ def _dotg(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, eig_ref, stat_ref,
-                       h_ref, win, U, Ux, cs, dc, sc, pc, slab, rch, sems,
-                       *, np_: int):
+def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
+                       accumulate_q: bool = False):
     """See module docstring. np_ = 128-padded live size; HBM planes are
-    (2, np_ + _RC, np_ + _SC)."""
+    (2, np_ + _RC, np_ + _SC). With ``accumulate_q`` the kernel also
+    post-multiplies a Q matrix (same HBM layout, starts as identity) by
+    every right rotation block, and the left slabs extend to the full n
+    columns so the final h planes are a valid Schur T factor."""
+    if accumulate_q:
+        (q_in, eig_ref, stat_ref, h_ref, q_ref,
+         win, U, Ux, cs, dc, sc, pc, slab, rch, sems) = refs
+        del q_in  # aliased with q_ref
+    else:
+        (eig_ref, stat_ref, h_ref,
+         win, U, Ux, cs, dc, sc, pc, slab, rch, sems) = refs
+        q_ref = None
     n = scal_i_ref[0]
     max_sweeps = scal_i_ref[1]
     tol = scal_f_ref[0]
@@ -270,7 +280,10 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, eig_ref, stat_ref,
                 d.wait()
 
                 # slab pass: rows [b8, b8+136) x cols [b128+256, hi)
-                nch = jnp.maximum(hi - (b128 + _WC) + _SC - 1, 0) // _SC
+                # (eigenvalues-only) or through n (Schur/vectors mode —
+                # the trailing coupling columns must stay consistent)
+                col_end = n if accumulate_q else hi
+                nch = jnp.maximum(col_end - (b128 + _WC) + _SC - 1, 0) // _SC
 
                 def sl_dma(slot, ci, direction):
                     hbm = h_ref.at[:, pl.ds(pl.multiple_of(b8, 8), _WR),
@@ -401,6 +414,42 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, eig_ref, stat_ref,
                     return _s
 
                 jax.lax.fori_loop(0, nrc, rc_body, 0)
+
+                if accumulate_q:
+                    # Q[:, b128:b128+256] @= Ux^H over all n rows
+                    nrq = (n + _RC - 1) // _RC
+
+                    def q_dma(slot, ri, direction):
+                        hbm = q_ref.at[:, pl.ds(ri * _RC, _RC),
+                                       pl.ds(pl.multiple_of(b128, LANES),
+                                             _WC)]
+                        if direction == "in":
+                            return pltpu.make_async_copy(
+                                hbm, rch.at[slot], sems.at[3 + slot])
+                        return pltpu.make_async_copy(
+                            rch.at[slot], hbm, sems.at[3 + slot])
+
+                    q_dma(0, 0, "in").start()
+
+                    def q_body(ri, _s):
+                        cur = ri % 2
+
+                        @pl.when(ri + 1 < nrq)
+                        def _():
+                            q_dma((ri + 1) % 2, ri + 1, "in").start()
+                        q_dma(cur, ri, "in").wait()
+                        c0 = rch[cur, 0]
+                        c1 = rch[cur, 1]
+                        rch[cur, 0] = _dotg(c0, Ux[0], (((1,), (1,)))) \
+                            + _dotg(c1, Ux[1], (((1,), (1,))))
+                        rch[cur, 1] = _dotg(c1, Ux[0], (((1,), (1,)))) \
+                            - _dotg(c0, Ux[1], (((1,), (1,))))
+                        wb = q_dma(cur, ri, "out")
+                        wb.start()
+                        wb.wait()
+                        return _s
+
+                    jax.lax.fori_loop(0, nrq, q_body, 0)
                 # refresh diag/sub/sup caches for this block's columns
                 # (the final block also covers its last, fully-finalized
                 # entries up to hi)
@@ -424,21 +473,65 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, eig_ref, stat_ref,
     stat_ref[1] = hi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
 def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
                           max_sweeps: jax.Array, tol: jax.Array, *,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          accumulate_q: bool = False):
     """All eigenvalues of an upper-Hessenberg matrix in split planes,
     HBM-blocked (any n HBM holds; VMEM footprint O(np_)).
 
     Same contract as ``qr_hessenberg_eig_planes``: returns
-    ``(eig_planes (2, m), sweeps, hi)``, ``hi <= 1`` means converged.
+    ``(eig_planes (2, m), sweeps, hi)``, ``hi <= 1`` means converged —
+    plus ``(t_planes, q_planes)`` (the Schur factors, H = Q T Q^H of the
+    INPUT Hessenberg matrix) when ``accumulate_q``.
     """
     n_planes, m, _ = planes.shape
     assert n_planes == 2
     np_ = max(_round_up(m, LANES), 2 * LANES)
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ + _RC - m), (0, np_ + _SC - m)))
+    scratch = [
+        pltpu.VMEM((2, _WR, _WC), jnp.float32),            # win
+        pltpu.VMEM((2, _WR, _WR), jnp.float32),            # U
+        pltpu.VMEM((2, _WC, _WC), jnp.float32),            # Ux
+        pltpu.VMEM((8, np_), jnp.float32),                 # cs
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # diag cache
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sub cache
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sup cache
+        pltpu.VMEM((2, 2, _WR, _SC), jnp.float32),         # slab
+        pltpu.VMEM((2, 2, _RC, _WC), jnp.float32),         # rchunk
+        pltpu.SemaphoreType.DMA((5,)),
+    ]
+    scal = jnp.stack([jnp.asarray(n, jnp.int32),
+                      jnp.asarray(max_sweeps, jnp.int32)])
+    tolv = jnp.asarray(tol, jnp.float32).reshape(1)
+    if accumulate_q:
+        qeye = jnp.zeros((2, np_ + _RC, np_ + _SC), jnp.float32)
+        qeye = qeye.at[0, :np_, :np_].set(jnp.eye(np_, dtype=jnp.float32))
+        eig, stat, h_out, q_out = pl.pallas_call(
+            functools.partial(_qr_blocked_kernel, np_=np_,
+                              accumulate_q=True),
+            out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
+                       jax.ShapeDtypeStruct((2,), jnp.int32),
+                       jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
+                                            jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.HBM),
+                       pl.BlockSpec(memory_space=pltpu.HBM)),
+            input_output_aliases={2: 2, 3: 3},
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(scal, tolv, p, qeye)
+        return (eig[:, 0, :m], stat[0], stat[1],
+                h_out[:, :m, :m], q_out[:, :m, :m])
     eig, stat, _h = pl.pallas_call(
         functools.partial(_qr_blocked_kernel, np_=np_),
         out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
@@ -452,45 +545,57 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.HBM)),
         input_output_aliases={2: 2},
-        scratch_shapes=[
-            pltpu.VMEM((2, _WR, _WC), jnp.float32),            # win
-            pltpu.VMEM((2, _WR, _WR), jnp.float32),            # U
-            pltpu.VMEM((2, _WC, _WC), jnp.float32),            # Ux
-            pltpu.VMEM((8, np_), jnp.float32),                 # cs
-            pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # diag cache
-            pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sub cache
-            pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sup cache
-            pltpu.VMEM((2, 2, _WR, _SC), jnp.float32),         # slab
-            pltpu.VMEM((2, 2, _RC, _WC), jnp.float32),         # rchunk
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.stack([jnp.asarray(n, jnp.int32),
-                 jnp.asarray(max_sweeps, jnp.int32)]),
-      jnp.asarray(tol, jnp.float32).reshape(1), p)
+    )(scal, tolv, p)
     return eig[:, 0, :m], stat[0], stat[1]
 
 
 def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
-                                  tol: float, *, interpret: bool = False):
+                                  tol: float, *, interpret: bool = False,
+                                  compute_vectors: bool = False):
     """Accelerated QR eigenvalues fully on-chip for sizes beyond the
     in-VMEM kernels' caps: blocked Hessenberg + blocked shifted-Givens
     QR, both HBM-resident. Same return contract as
     ``qr_kernels.qr_eigenvalues_pallas`` (eigenvalues complex64, sweeps,
-    converged)."""
+    converged — plus an (n, n) complex64 eigenvector matrix when
+    ``compute_vectors``: both kernels accumulate the unitary similarity
+    in HBM and the triangular eigenvectors come from host
+    back-substitution, exactly like the in-VMEM path)."""
     from .hessenberg_blocked import hessenberg_blocked_planes
+    from .qr_kernels import triangular_eigenvectors
     a = np.asarray(a)
     n = a.shape[0]
     if np.iscomplexobj(a):
         planes = np.stack([a.real, a.imag]).astype(np.float32)
     else:
         planes = a.astype(np.float32)[None]
-    h = hessenberg_blocked_planes(jnp.asarray(planes), n,
-                                  interpret=interpret)
+    if not compute_vectors:
+        h = hessenberg_blocked_planes(jnp.asarray(planes), n,
+                                      interpret=interpret)
+        if h.shape[0] == 1:
+            h = jnp.concatenate([h, jnp.zeros_like(h)])
+        eig, sweeps, hi = qr_eig_blocked_planes(h, n, max_sweeps, tol,
+                                                interpret=interpret)
+        e = np.asarray(jax.device_get(eig))
+        return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
+                int(sweeps), bool(int(hi) <= 1))
+    h, qh = hessenberg_blocked_planes(jnp.asarray(planes), n,
+                                      interpret=interpret,
+                                      accumulate_q=True)
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])
-    eig, sweeps, hi = qr_eig_blocked_planes(h, n, max_sweeps, tol,
-                                            interpret=interpret)
+        qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
+    eig, sweeps, hi, t_pl, qs = qr_eig_blocked_planes(
+        h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))
-    return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
-            int(sweeps), bool(int(hi) <= 1))
+    eigs = (e[0] + 1j * e[1])[:n].astype(np.complex64)
+    t = np.asarray(jax.device_get(t_pl))
+    T = (t[0] + 1j * t[1])[:n, :n].astype(np.complex128)
+    q = np.asarray(jax.device_get(qs))
+    qhp = np.asarray(jax.device_get(qh))
+    Q = ((qhp[0] + 1j * qhp[1]) @ (q[0] + 1j * q[1]))[:n, :n]
+    V = Q.astype(np.complex128) @ triangular_eigenvectors(T)
+    V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
+                        1e-30)).astype(np.complex64)
+    return eigs, int(sweeps), bool(int(hi) <= 1), V

@@ -621,12 +621,21 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
         # VMEM cap is tighter than the plain eigenvalue kernel's (and
         # tighter still for complex inputs, whose Hessenberg runs 2 planes).
         vec_cap = 384 if np.dtype(M.dtype).kind == "c" else 512
-        if _use_pallas_qr(n, M.dtype) and n <= vec_cap:
+        if _f32_class_on_accel(M.dtype):
             from ..core.dtypes import complex_safe_device
-            from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
-            eigs, sweeps, conv, V = qr_eigenvalues_pallas(
-                np.asarray(M.as_dense()), int(opts.max_iterations),
-                float(dtol), compute_vectors=True)
+            if _use_pallas_qr(n, M.dtype) and n <= vec_cap:
+                from ..ops.pallas.qr_kernels import qr_eigenvalues_pallas
+                eigs, sweeps, conv, V = qr_eigenvalues_pallas(
+                    np.asarray(M.as_dense()), int(opts.max_iterations),
+                    float(dtol), compute_vectors=True)
+            else:
+                # HBM-blocked Schur path: eigenvectors on-chip beyond
+                # the in-VMEM vec caps (VERDICT r2 task 4)
+                from ..ops.pallas.qr_eig_blocked import (
+                    qr_eigenvalues_pallas_blocked)
+                eigs, sweeps, conv, V = qr_eigenvalues_pallas_blocked(
+                    np.asarray(M.as_dense()), int(opts.max_iterations),
+                    float(dtol), compute_vectors=True)
             with complex_safe_device():
                 return QRResult(eigenvalues=jnp.asarray(eigs),
                                 iterations=jnp.asarray(sweeps, jnp.int32),

@@ -116,3 +116,27 @@ def test_qr_eig_blocked_trivial_sizes():
                                             1e-6, interpret=True)
     assert int(hi) <= 1
     assert abs(float(np.asarray(eig)[0][0]) - 3.5) < 1e-6
+
+
+def test_hessenberg_blocked_q_accumulation():
+    n = 150
+    rng = np.random.default_rng(5)
+    a = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
+    h, q = hessenberg_blocked_planes(jnp.asarray(a[None]), n,
+                                     interpret=True, accumulate_q=True)
+    H, Q = np.asarray(h)[0], np.asarray(q)[0]
+    assert np.abs(Q.T @ Q - np.eye(n)).max() < 1e-4
+    assert np.abs(Q @ H @ Q.T - a).max() < 1e-4
+
+
+@pytest.mark.parametrize("kind", ["r", "c"])
+def test_qr_eig_blocked_eigenvectors(kind):
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked import (
+        qr_eigenvalues_pallas_blocked)
+    n = 150
+    a = _rand(n, kind, seed=7)
+    eigs, sweeps, conv, V = qr_eigenvalues_pallas_blocked(
+        a, 40 * n, 1e-6, interpret=True, compute_vectors=True)
+    assert conv
+    R = a.astype(np.complex128) @ V - V * eigs[None, :]
+    assert np.abs(R).max() < 5e-3
