@@ -533,8 +533,11 @@ def _qr_eigenvalues_accel_real(H0: jax.Array, max_sweeps: jax.Array,
 # Largest n the Pallas QR kernels take before their VMEM working set
 # (split planes + transpose/matmul temporaries) exceeds the ~16 MB budget.
 _PALLAS_QR_MAX_N = 768
-# The parity kernel additionally carries R and Q scratch planes.
-_PALLAS_QR_PARITY_MAX_N = {1: 512, 2: 256}
+# The parity kernel additionally carries R and Q scratch planes (2 for
+# real, 4 for complex inputs). Caps probed on the real chip this round:
+# complex 384 compiles and converges (256 in round 2); 512 complex still
+# exceeds the 16 MB scoped-VMEM budget (6 planes + matmul temporaries).
+_PALLAS_QR_PARITY_MAX_N = {1: 512, 2: 384}
 
 
 def _f32_class_on_accel(dtype, backend: str | None = None) -> bool:
