@@ -140,3 +140,34 @@ def test_qr_eig_blocked_eigenvectors(kind):
     assert conv
     R = a.astype(np.complex128) @ V - V * eigs[None, :]
     assert np.abs(R).max() < 5e-3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [119, 121, 128, 129, 241])
+def test_qr_eig_blocked_block_boundary_sizes(n):
+    """Block stride is 120 with 136-row windows anchored at 8-aligned
+    bases: sizes straddling block boundaries are the risky cases."""
+    a = _rand(n, "r", seed=n)
+    planes = np.stack([a, np.zeros_like(a)]).astype(np.float32)
+    h = hessenberg_planes(jnp.asarray(planes), n, interpret=True)
+    eig, sweeps, hi = qr_eig_blocked_planes(h, n, 40 * n + 100, 1e-6,
+                                            interpret=True)
+    assert int(hi) <= 1
+    e = np.asarray(eig)
+    ev = (e[0] + 1j * e[1])[:n]
+    err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)), ev)
+    assert err < 5e-4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [65, 127, 129, 193])
+def test_hessenberg_blocked_panel_boundary_sizes(n):
+    """Panels are 64 columns with 128-aligned DMA bases: sizes around
+    panel/DMA boundaries."""
+    a = _rand(n, "r", seed=100 + n)
+    out = np.asarray(hessenberg_blocked_planes(
+        jnp.asarray(a.astype(np.float32)[None]), n, interpret=True))[0]
+    assert np.abs(np.tril(out, -2)).max() == 0.0
+    err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
+                      np.linalg.eigvals(out.astype(np.complex128)))
+    assert err < 5e-5 * n
