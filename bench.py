@@ -416,6 +416,8 @@ def main():
             "value": round(results["pallas_gell"], 1),
             "unit": "nnz/s",
             "vs_baseline": round(results["pallas_gell"] / results["ell_gather"], 3),
+            "bf16_values_nnz_per_s": round(results["pallas_gell_bf16"], 1),
+            "bound": "vpu-compute, not HBM (docs/PERF_NOTES.md ablation)",
         })
         return
     if args.suite == "block":
