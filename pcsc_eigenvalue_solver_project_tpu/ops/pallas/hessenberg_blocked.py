@@ -168,25 +168,46 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
                 ci = _rT(e_pan, pan[1]) if two else None
 
                 # compact-WY corrections: c -= Z T V^H e_k ; c -= V T^H V^H c
+                # Complex runs every plane-pair product as ONE stacked
+                # contraction (operands concatenated along the free dim,
+                # results sliced): each HIGHEST-precision matmul instance
+                # keeps hi/lo bf16 operand splits on the Mosaic stack,
+                # and the unfused 4-product complex form blew the 16 MB
+                # scoped-VMEM budget at n >= 1024.
                 e_k = (lane_np == k).astype(jnp.float32)    # (1, np_)
-                vrow_r = _rM(e_k, V[0])                     # (1, nb): V[k,:]
-                vrow_i = _rM(e_k, V[1]) if two else None
                 if two:
-                    # t1 = (T @ conj(V[k,:])^T)^T = conj(V[k,:]) @ T^T
-                    ar, ai = vrow_r, -vrow_i
-                    t1r = _rT(ar, T[0]) - _rT(ai, T[1])
-                    t1i = _rT(ar, T[1]) + _rT(ai, T[0])
-                    cr = cr - (_rT(t1r, Z[0]) - _rT(t1i, Z[1]))
-                    ci = ci - (_rT(t1r, Z[1]) + _rT(t1i, Z[0]))
-                    # u = (V^H c)^T = c @ conj(V)
-                    ur = _rM(cr, V[0]) + _rM(ci, V[1])
-                    ui = _rM(ci, V[0]) - _rM(cr, V[1])
-                    # t2 = (T^H u)^T = u @ conj(T)
-                    t2r = _rM(ur, T[0]) + _rM(ui, T[1])
-                    t2i = _rM(ui, T[0]) - _rM(ur, T[1])
-                    cr = cr - (_rT(t2r, V[0]) - _rT(t2i, V[1]))
-                    ci = ci - (_rT(t2r, V[1]) + _rT(t2i, V[0]))
+                    TcatR = jnp.concatenate([T[0], T[1]], axis=0)  # (2nb, nb)
+                    TcatC = jnp.concatenate([T[0], T[1]], axis=1)  # (nb, 2nb)
+                    VcatC = jnp.concatenate([V[0], V[1]], axis=1)  # (np_, 2nb)
+                    VcatR = jnp.concatenate([V[0], V[1]], axis=0)  # (2np_, nb)
+                    ZcatR = jnp.concatenate([Z[0], Z[1]], axis=0)  # (2np_, nb)
+                    vv = _rM(e_k, VcatC)                   # [V0[k,:] | V1[k,:]]
+                    ar, ai = vv[:, 0:nb], -vv[:, nb:]
+                    # t1 = conj(V[k,:]) @ T^T
+                    p_ar = _rT(ar, TcatR)                  # [arT0^T | arT1^T]
+                    p_ai = _rT(ai, TcatR)
+                    t1r = p_ar[:, 0:nb] - p_ai[:, nb:]
+                    t1i = p_ar[:, nb:] + p_ai[:, 0:nb]
+                    q_r = _rT(t1r, ZcatR)                  # (1, 2np_)
+                    q_i = _rT(t1i, ZcatR)
+                    cr = cr - (q_r[:, 0:np_] - q_i[:, np_:])
+                    ci = ci - (q_r[:, np_:] + q_i[:, 0:np_])
+                    # u = c @ conj(V)
+                    u_r = _rM(cr, VcatC)
+                    u_i = _rM(ci, VcatC)
+                    ur = u_r[:, 0:nb] + u_i[:, nb:]
+                    ui = u_i[:, 0:nb] - u_r[:, nb:]
+                    # t2 = u @ conj(T)
+                    w_r = _rM(ur, TcatC)
+                    w_i = _rM(ui, TcatC)
+                    t2r = w_r[:, 0:nb] + w_i[:, nb:]
+                    t2i = w_i[:, 0:nb] - w_r[:, nb:]
+                    s_r = _rT(t2r, VcatR)                  # (1, 2np_)
+                    s_i = _rT(t2i, VcatR)
+                    cr = cr - (s_r[:, 0:np_] - s_i[:, np_:])
+                    ci = ci - (s_r[:, np_:] + s_i[:, 0:np_])
                 else:
+                    vrow_r = _rM(e_k, V[0])                # (1, nb): V[k,:]
                     t1 = _rT(vrow_r, T[0])
                     cr = cr - _rT(t1, Z[0])
                     u = _rM(cr, V[0])
@@ -222,12 +243,17 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
                     vi = vi * vinv * jnp.where(tau > 0, one, zero)
 
                 # T[:, j] = -tau * T @ (V^H v);  T[j, j] = tau
-                sr_ = _rM(vr, V[0]) + (_rM(vi, V[1]) if two else 0.0)
                 if two:
-                    si_ = _rM(vi, V[0]) - _rM(vr, V[1])
-                    tcr = -tau * (_rT(sr_, T[0]) - _rT(si_, T[1]))
-                    tci = -tau * (_rT(sr_, T[1]) + _rT(si_, T[0]))
+                    m_r = _rM(vr, VcatC)
+                    m_i = _rM(vi, VcatC)
+                    sr_ = m_r[:, 0:nb] + m_i[:, nb:]
+                    si_ = m_i[:, 0:nb] - m_r[:, nb:]
+                    n_r = _rT(sr_, TcatR)
+                    n_i = _rT(si_, TcatR)
+                    tcr = -tau * (n_r[:, 0:nb] - n_i[:, nb:])
+                    tci = -tau * (n_r[:, nb:] + n_i[:, 0:nb])
                 else:
+                    sr_ = _rM(vr, V[0])
                     tcr = -tau * _rT(sr_, T[0])
                 below_j = (lane_nb < j).astype(jnp.float32)   # (1, nb)
                 diag_j = tau * e_nb
@@ -252,10 +278,16 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
                     rows = pl.ds(si * slab_r, slab_r)
                     keep = (1.0 - e_nb)
                     if two:
-                        zr_s = _dot_nt(slab[cur, 0], vr) \
-                            - _dot_nt(slab[cur, 1], vi)    # (slab_r, 1)
-                        zi_s = _dot_nt(slab[cur, 0], vi) \
-                            + _dot_nt(slab[cur, 1], vr)
+                        # ONE stacked contraction per plane: Mosaic
+                        # rejects dotA - dotB matvec chains ("only
+                        # constant accumulators supported"); P_p =
+                        # slab_p @ [vr; vi]^T gives both products and
+                        # the combine is elementwise
+                        v2 = jnp.concatenate([vr, vi], axis=0)  # (2, np_)
+                        p0 = _dot_nt(slab[cur, 0], v2)          # (slab_r, 2)
+                        p1 = _dot_nt(slab[cur, 1], v2)
+                        zr_s = p0[:, 0:1] - p1[:, 1:2]
+                        zi_s = p0[:, 1:2] + p1[:, 0:1]
                         Z[0, rows] = Z[0, rows] * keep + _dot(zr_s, e_nb)
                         Z[1, rows] = Z[1, rows] * keep + _dot(zi_s, e_nb)
                     else:
@@ -283,12 +315,12 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
                 slab_dma(cur, si, "in").wait()
                 rows = pl.ds(si * slab_r, slab_r)
                 if two:
-                    vsr = V[0, rows]
-                    vsi = V[1, rows]
-                    W[0] = W[0] + _dotT(vsr, slab[cur, 0]) \
-                        + _dotT(vsi, slab[cur, 1])
-                    W[1] = W[1] + _dotT(vsr, slab[cur, 1]) \
-                        - _dotT(vsi, slab[cur, 0])
+                    vs2 = jnp.concatenate([V[0, rows], V[1, rows]],
+                                          axis=1)           # (slab_r, 2nb)
+                    p0 = _dotT(vs2, slab[cur, 0])           # (2nb, np_)
+                    p1 = _dotT(vs2, slab[cur, 1])
+                    W[0] = W[0] + p0[0:nb] + p1[nb:]
+                    W[1] = W[1] + p1[0:nb] - p0[nb:]
                 else:
                     W[0] = W[0] + _dotT(V[0, rows], slab[cur, 0])
                 return acc
@@ -296,19 +328,29 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
             jax.lax.fori_loop(0, n_slabs, p_slab, 0)
 
             # Y = Z T (overwrite Z); G2 = T^H (V^H Y); W = T^H P - G2 V^H
+            # (complex: stacked single contractions — see col_body note)
             if two:
-                yr = _dot(Z[0], T[0]) - _dot(Z[1], T[1])
-                yi = _dot(Z[0], T[1]) + _dot(Z[1], T[0])
-                Z[0] = yr
-                Z[1] = yi
-                vyr = _dotT(V[0], Z[0]) + _dotT(V[1], Z[1])
-                vyi = _dotT(V[0], Z[1]) - _dotT(V[1], Z[0])
-                g2r = _dotT(T[0], vyr) + _dotT(T[1], vyi)
-                g2i = _dotT(T[0], vyi) - _dotT(T[1], vyr)
-                pr = _dotT(T[0], W[0]) + _dotT(T[1], W[1])
-                pi_ = _dotT(T[0], W[1]) - _dotT(T[1], W[0])
-                W[0] = pr - (_dot_nt(g2r, V[0]) + _dot_nt(g2i, V[1]))
-                W[1] = pi_ - (_dot_nt(g2i, V[0]) - _dot_nt(g2r, V[1]))
+                Tc = jnp.concatenate([T[0], T[1]], axis=1)   # (nb, 2nb)
+                Vc = jnp.concatenate([V[0], V[1]], axis=1)   # (np_, 2nb)
+                y0 = _dot(Z[0], Tc)                          # (np_, 2nb)
+                y1 = _dot(Z[1], Tc)
+                Z[0] = y0[:, 0:nb] - y1[:, nb:]
+                Z[1] = y0[:, nb:] + y1[:, 0:nb]
+                g0 = _dotT(Vc, Z[0])                         # (2nb, nb)
+                g1 = _dotT(Vc, Z[1])
+                vyr = g0[0:nb] + g1[nb:]
+                vyi = g1[0:nb] - g0[nb:]
+                h0 = _dotT(Tc, vyr)                          # (2nb, nb)
+                h1 = _dotT(Tc, vyi)
+                g2r = h0[0:nb] + h1[nb:]
+                g2i = h1[0:nb] - h0[nb:]
+                pw0 = _dotT(Tc, W[0])                        # (2nb, np_)
+                pw1 = _dotT(Tc, W[1])
+                pr = pw0[0:nb] + pw1[nb:]
+                pi_ = pw1[0:nb] - pw0[nb:]
+                W[0] = pr - _dot_nt(jnp.concatenate([g2r, g2i], axis=1), Vc)
+                W[1] = pi_ - _dot_nt(jnp.concatenate([g2i, -g2r], axis=1),
+                                     Vc)
             else:
                 Z[0] = _dot(Z[0], T[0])
                 g2 = _dot(T[0].T, _dotT(V[0], Z[0]))
@@ -330,11 +372,15 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
                 slab_dma(cur, si, "in").wait()
                 rows = pl.ds(si * slab_r, slab_r)
                 if two:
-                    # Y V^H : (Yr + iYi)(Vr - iVi)^T
-                    ar = _dot_nt(Z[0, rows], V[0]) + _dot_nt(Z[1, rows], V[1])
-                    ai = _dot_nt(Z[1, rows], V[0]) - _dot_nt(Z[0, rows], V[1])
-                    br = _dot(V[0, rows], W[0]) - _dot(V[1, rows], W[1])
-                    bi = _dot(V[0, rows], W[1]) + _dot(V[1, rows], W[0])
+                    # Y V^H and V W as stacked contractions
+                    vcu = jnp.concatenate([V[0], V[1]], axis=1)  # (np_, 2nb)
+                    ar = _dot_nt(jnp.concatenate(
+                        [Z[0, rows], Z[1, rows]], axis=1), vcu)
+                    ai = _dot_nt(jnp.concatenate(
+                        [Z[1, rows], -Z[0, rows]], axis=1), vcu)
+                    vr2 = jnp.concatenate([V[0, rows], V[1, rows]], axis=1)
+                    br = _dot(vr2, jnp.concatenate([W[0], -W[1]], axis=0))
+                    bi = _dot(vr2, jnp.concatenate([W[1], W[0]], axis=0))
                     slab[cur, 0] = slab[cur, 0] - ar - br
                     slab[cur, 1] = slab[cur, 1] - ai - bi
                 else:
