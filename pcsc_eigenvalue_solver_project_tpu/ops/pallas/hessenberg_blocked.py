@@ -487,7 +487,10 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     n_planes, m, _ = planes.shape
     np_ = max(_round_up(m, LANES), 2 * LANES)
     nb = 64
-    slab_r = 64
+    # complex n=2048 overflows the 16 MB scoped-VMEM stack by ~0.8 MB at
+    # slab_r=64 (even with the fused plane-pair matmuls); halving the
+    # slab window buys ~1.3 MB of declared buffer + slab temporaries
+    slab_r = 64 if n_planes == 1 else 32
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
     scratch = [
