@@ -265,11 +265,7 @@ def bench_qr(n: int, verbose: bool):
         qr_eigenvalues_pallas, qr_parity_pallas)
 
     rng = np.random.default_rng(0)
-    d = (0.9 ** np.arange(n)).astype(np.float64)
-    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
-    a = ((Qo * d) @ Qo.T).astype(np.float32)
     tol = 3e-6
-    budget = max(40 * int(np.log(n) * 10), 2000)
 
     def timed(fn):
         out = fn()          # warm / compile
@@ -278,13 +274,23 @@ def bench_qr(n: int, verbose: bool):
         return time.perf_counter() - t0, out
 
     if n > 768:
-        # beyond the in-VMEM kernels: HBM-blocked on-chip path. The
+        # Beyond the in-VMEM kernels: HBM-blocked on-chip path. The
         # parity (unshifted) baseline cannot converge at this scale in
         # any budget, so the baseline is the host LAPACK eigensolver
-        # (what the pre-blocked CPU fallback amounted to):
-        # vs_baseline = lapack_wall / onchip_wall.
+        # run on the SAME matrix: vs_baseline = lapack_wall / onchip_wall.
+        #
+        # Operand honesty (VERDICT r3 task 2): the geometric 0.9^i
+        # spectrum used for the <=768 parity-ratio leg underflows f32
+        # beyond i ~ 980, which makes the matrix numerically low-rank and
+        # trivially deflatable — flattering the blocked kernel ~20x. The
+        # blocked leg therefore uses a FULL-RANK-at-f32 operand:
+        # eigenvalues uniform in [1, 2] via Q diag Q^T (every adjacent
+        # gap resolvable at f32, nothing underflows, no cluster at 0).
         from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
             import qr_eigenvalues_pallas_blocked
+        d = np.sort(rng.uniform(1.0, 2.0, n))[::-1].astype(np.float64)
+        Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a = ((Qo * d) @ Qo.T).astype(np.float32)
         accel_wall, (eig_a, sweeps_a, conv_a) = timed(
             lambda: qr_eigenvalues_pallas_blocked(a, 40 * n, tol))
         t0 = time.perf_counter()
@@ -292,11 +298,26 @@ def bench_qr(n: int, verbose: bool):
         lapack_wall = time.perf_counter() - t0
         err_a = np.abs(np.sort(eig_a.real) - np.sort(d)).max()
         if verbose:
-            print(f"# qr {n} (blocked): on-chip {accel_wall:.2f}s "
-                  f"({sweeps_a} sweeps, conv={conv_a}, err={err_a:.1e}) | "
-                  f"host LAPACK {lapack_wall:.2f}s", file=sys.stderr)
+            print(f"# qr {n} (blocked, full-rank spectrum): on-chip "
+                  f"{accel_wall:.2f}s ({sweeps_a} sweeps, conv={conv_a}, "
+                  f"err={err_a:.1e}) | host LAPACK {lapack_wall:.2f}s",
+                  file=sys.stderr)
         vs = lapack_wall / accel_wall if conv_a else 0.0
-        return accel_wall, bool(conv_a), vs
+        return {"wall": accel_wall, "converged": bool(conv_a), "vs": vs,
+                "baseline": "host_lapack_same_matrix",
+                "spectrum": "uniform[1,2]_full_rank_f32",
+                "sweeps": int(sweeps_a), "err": float(err_a)}
+
+    # <=768: vs_baseline is the parity-kernel ratio. The operator is a
+    # symmetric matrix with geometric spectrum 0.9^i (adjacent-eigenvalue
+    # ratio 0.9), chosen so the baseline — the reference's unshifted
+    # iteration — genuinely converges (see module docstring); at these
+    # sizes 0.9^i stays far above the f32 underflow cliff that motivated
+    # the full-rank operand of the blocked leg.
+    d = (0.9 ** np.arange(n)).astype(np.float64)
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    budget = max(40 * int(np.log(n) * 10), 2000)
 
     accel_wall, (eig_a, sweeps_a, conv_a) = timed(
         lambda: qr_eigenvalues_pallas(a, 20 * n, tol))
@@ -311,7 +332,10 @@ def bench_qr(n: int, verbose: bool):
               f"({it_p} sweeps, conv={conv_p}, err={err_p:.1e})",
               file=sys.stderr)
     vs = parity_wall / accel_wall if (conv_a and conv_p) else 0.0
-    return accel_wall, bool(conv_a), vs
+    return {"wall": accel_wall, "converged": bool(conv_a), "vs": vs,
+            "baseline": "parity_kernel_same_chip",
+            "spectrum": "geometric_0.9^i",
+            "sweeps": int(sweeps_a), "err": float(err_a)}
 
 
 def bench_gmres(verbose: bool):
@@ -450,12 +474,19 @@ def main():
         })
         return
     if args.suite == "qr":
-        wall, conv, vs = bench_qr(args.qr_n, verbose=not args.json_only)
+        r = bench_qr(args.qr_n, verbose=not args.json_only)
         _emit_and_cache({
             "metric": f"qr_eigenvalues_wallclock_{args.qr_n}",
-            "value": round(wall, 4),
+            "value": round(r["wall"], 4),
             "unit": "s",
-            "vs_baseline": round(vs, 3),
+            "vs_baseline": round(r["vs"], 3),
+            # the two size regimes have DIFFERENT baselines — name it in
+            # the record so cross-size comparisons don't conflate them
+            "baseline": r["baseline"],
+            "spectrum": r["spectrum"],
+            "sweeps": r["sweeps"],
+            "max_abs_eig_err": r["err"],
+            "converged": r["converged"],
         })
         return
 

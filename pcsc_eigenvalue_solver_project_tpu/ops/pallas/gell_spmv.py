@@ -257,12 +257,14 @@ def _decode_seg(seg_arr):
 def _scan_runs(p, word, bits, scan_steps: int, roll):
     """Masked Hillis-Steele suffix scan: sum runs into their head slots.
 
-    The mask is applied as a float multiplier (p += roll * m) rather than
-    a select — measured marginally faster on-chip and never slower
-    (the kernel is VPU-op-bound, see BENCH notes)."""
+    The mask is a ``where`` select (NOT a float multiply): with a
+    multiply, a NaN/Inf rolled in from an unrelated slot would survive
+    ``0 * NaN`` and poison the run head. The select form measured within
+    run-to-run noise of the multiply (the kernel is VPU-op-bound either
+    way, see docs/PERF_NOTES.md) and keeps the kernel NaN-proof."""
     for k, bit in list(zip((1, 2, 4), bits))[:scan_steps]:
-        m = ((word & bit) > 0).astype(p.dtype)
-        p = p + roll(p, k) * m
+        m = (word & bit) > 0
+        p = jnp.where(m, p + roll(p, k), p)
     return p
 
 
@@ -277,24 +279,26 @@ def _decode_inv(inv8):
 
 def _gather_chunks(seg, xt_ref, n_chunks, plane=None):
     """x value for every slot: one lane-gather per 128-segment chunk.
-    Accumulates via float-mask multiply (never slower than a select on
-    this VPU, occasionally faster)."""
+    Accumulates via ``where`` select so an Inf/NaN in one x chunk can
+    never leak into slots belonging to other chunks (0 * NaN = NaN would;
+    the select measures within noise of the multiply on this VPU)."""
     s_lo = seg & (LANES - 1)
     s_hi = seg >> 7
     t = jnp.zeros((LANES, LANES), jnp.float32)
     for c in range(n_chunks):
         src = xt_ref[c] if plane is None else xt_ref[plane, c]
         g = jnp.take_along_axis(src, s_lo, axis=1)
-        t = t + g * (s_hi == c).astype(jnp.float32)
+        t = jnp.where(s_hi == c, g, t)
     return t
 
 
 def _invert_to_rows(p, inv_ref, ng):
     """Head slot -> output-row lane + partial sublane reduction 128 -> 8."""
     outs = []
+    zero = jnp.zeros((), jnp.float32)
     for g in range(ng):
         idx, valid = _decode_inv(inv_ref[0, g * LANES:(g + 1) * LANES, :])
-        q = jnp.take_along_axis(p, idx, axis=1) * valid.astype(p.dtype)
+        q = jnp.where(valid, jnp.take_along_axis(p, idx, axis=1), zero)
         outs.append(jnp.sum(q.reshape(8, 16, LANES), axis=1))
     return jnp.concatenate(outs, axis=0)
 
@@ -324,11 +328,11 @@ def _gell_kernel_cpx(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
     pi = _scan_runs(pi, word, bits, scan_steps, roll)
     # share the inverse-permutation index decode across both planes
     outs_r, outs_i = [], []
+    zero = jnp.zeros((), jnp.float32)
     for g in range(ng):
         idx, valid = _decode_inv(inv_ref[0, g * LANES:(g + 1) * LANES, :])
-        vf = valid.astype(jnp.float32)
-        qr = jnp.take_along_axis(pr, idx, axis=1) * vf
-        qi = jnp.take_along_axis(pi, idx, axis=1) * vf
+        qr = jnp.where(valid, jnp.take_along_axis(pr, idx, axis=1), zero)
+        qi = jnp.where(valid, jnp.take_along_axis(pi, idx, axis=1), zero)
         outs_r.append(jnp.sum(qr.reshape(8, 16, LANES), axis=1))
         outs_i.append(jnp.sum(qi.reshape(8, 16, LANES), axis=1))
     out_ref[0, 0] = jnp.concatenate(outs_r, axis=0)
@@ -404,7 +408,8 @@ def _gell_tiles_xla(seg_packed, val, inv, x_pad, ng: int, scan_steps: int):
     n_tiles = seg_packed.shape[0]
     inv4 = inv.reshape(n_tiles, ng, LANES, LANES)
     idx, valid = _decode_inv(inv4)
-    q = jnp.take_along_axis(p[:, None], idx, axis=3) * valid.astype(p.dtype)
+    q = jnp.where(valid, jnp.take_along_axis(p[:, None], idx, axis=3),
+                  jnp.zeros((), p.dtype))
     return jnp.sum(q, axis=2).reshape(-1)  # sum over buckets (sublanes)
 
 

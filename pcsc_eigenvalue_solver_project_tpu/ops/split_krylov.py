@@ -401,10 +401,14 @@ def solve_shifted_splitc_gmres(matvec, shift, b, *, diag=None, tol=1e-10,
     """GMRES variant of ``solve_shifted_splitc`` — same shifted operator
     and Jacobi plane preconditioner, restarted-GMRES inner method.
 
-    ``unroll=None`` picks per backend: accelerators use the statically
-    unrolled cycle (``splitc_gmres_unrolled``, m=16 — the loop-nest-free
-    form the axon remote compiler accepts), CPU keeps the fori-loop
-    implementation."""
+    ``unroll=None`` picks per backend: accelerators use the fori-loop
+    Arnoldi with the statically-unrolled masked-Householder least-squares
+    solve (``splitc_gmres(..., ls='householder')`` — the round-2 remote-
+    compiler wedge was isolated to the ``jnp.linalg.qr`` lowering, not
+    the Arnoldi fori itself); CPU keeps the plain fori-loop + QR
+    implementation. ``unroll='full'`` forces the fully loop-free cycle
+    (``splitc_gmres_unrolled``, m capped at 16) as a last-resort fallback
+    should a future remote compiler reject even the Arnoldi fori."""
     def shifted_mv(v):
         return matvec(v) - splitc_mul(_sx(shift, v), v)
 

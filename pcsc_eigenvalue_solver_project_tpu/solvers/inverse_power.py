@@ -325,10 +325,12 @@ def shifted_inverse_power_split_complex(M, opts: ShiftedSolverOptions = ShiftedS
             f"shifted_inverse_power_method: split-complex operators support "
             f"inner_method 'auto' | 'dense_lu' | 'bicgstab' | 'gmres', "
             f"got {method!r}")
-    # On accelerators, GMRES runs via the statically-unrolled cycle
-    # (ops/split_krylov.py::splitc_gmres_unrolled) — the fori/
-    # dynamic-update Arnoldi nest that wedged the axon remote XLA
-    # compiler in round 2 is never traced there.
+    # On accelerators, GMRES runs the fori-loop Arnoldi with the
+    # statically-unrolled masked-Householder least-squares solve
+    # (ops/split_krylov.py::splitc_gmres with ls='householder') — the
+    # round-2 remote-compiler wedge was isolated to the jnp.linalg.qr
+    # lowering, which that path never traces. splitc_gmres_unrolled is
+    # only the unroll='full' fallback.
     inner_maxiter = opts.inner_max_iterations or 4 * n
     r = _inverse_power_splitc(M, shift_p, M.encode_vec(x0), max_it, tol,
                               jnp.asarray(opts.inner_tolerance, ftype),
