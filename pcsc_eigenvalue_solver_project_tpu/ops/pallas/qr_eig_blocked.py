@@ -60,13 +60,18 @@ def _dotg(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
-                       accumulate_q: bool = False):
+def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
+                       np_: int, accumulate_q: bool = False):
     """See module docstring. np_ = 128-padded live size; HBM planes are
     (2, np_ + _RC, np_ + _SC). With ``accumulate_q`` the kernel also
     post-multiplies a Q matrix (same HBM layout, starts as identity) by
     every right rotation block, and the left slabs extend to the full n
-    columns so the final h planes are a valid Schur T factor."""
+    columns so the final h planes are a valid Schur T factor.
+
+    ``sh_ref`` (2, 1, 128 VMEM): explicit shift schedule — when
+    ``scal_i_ref[2] = n_shifts > 0``, sweep s uses the complex shift at
+    lane ``s % n_shifts`` instead of the Wilkinson shift (the AED driver
+    feeds undeflated deflation-window Ritz values here, qr_aed.py)."""
     if accumulate_q:
         (q_in, eig_ref, stat_ref, h_ref, q_ref,
          win, U, Ux, cs, dc, sc, pc, slab, rch, sems) = refs
@@ -77,6 +82,7 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
         q_ref = None
     n = scal_i_ref[0]
     max_sweeps = scal_i_ref[1]
+    n_shifts = scal_i_ref[2]
     tol = scal_f_ref[0]
     del h_in  # aliased with h_ref
 
@@ -85,8 +91,11 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
     col_w = jax.lax.broadcasted_iota(jnp.int32, (_WR, _WC), 1)
     sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     lane_wc = jax.lax.broadcasted_iota(jnp.int32, (1, _WC), 1)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, np_), 0)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, np_), 1)
+    # cs is BLOCK-LOCAL (nblk, 8, 128): per-rotation coefficient reads/
+    # writes touch 8 vregs instead of 8 * (np_/128) — the full-width cs
+    # cost ~0.6 us/rotation at np_=2048, the dominant sweep cost
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     row_u = jax.lax.broadcasted_iota(jnp.int32, (_WR, _WR), 0)
     col_u = jax.lax.broadcasted_iota(jnp.int32, (_WR, _WR), 1)
     eye_u = (row_u == col_u).astype(jnp.float32)
@@ -147,7 +156,7 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
     # (uninitialized VMEM can hold NaN; 0 * NaN = NaN would poison the
     # masked sums — the round-2 advisor found exactly this class of bug
     # in the in-VMEM kernel's q buffer)
-    cs[...] = jnp.zeros((8, np_), jnp.float32)
+    cs[...] = jnp.zeros((nblk_max, 8, LANES), jnp.float32)
     for _p in range(2):
         dc[_p] = jnp.zeros((1, nlv), jnp.float32)
         sc[_p] = jnp.zeros((1, nlv), jnp.float32)
@@ -204,6 +213,15 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
         pick1 = m1 < m2
         mur = jnp.where(pick1, mu1r, mu2r)
         mui = jnp.where(pick1, mu1i, mu2i)
+
+        # explicit shift schedule overrides Wilkinson (AED shift cycling)
+        use_sched = n_shifts > 0
+        sidx = jnp.where(use_sched,
+                         sweeps % jnp.maximum(n_shifts, 1), 0)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        smask = (lane_s == sidx).astype(jnp.float32)
+        mur = jnp.where(use_sched, jnp.sum(sh_ref[0] * smask), mur)
+        mui = jnp.where(use_sched, jnp.sum(sh_ref[1] * smask), mui)
 
         lo8 = (lo // 8) * 8
         nblk = (hi - 1 - lo8 + _BS - 1) // _BS
@@ -271,7 +289,7 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
                     val = (g00r * (row8 == 0) + g00i * (row8 == 1)
                            + g01r * (row8 == 2) + g01i * (row8 == 3)
                            ).astype(jnp.float32)
-                    cs[...] = jnp.where(lane8 == k, val, cs[...])
+                    cs[bi] = jnp.where(lane8 == k - b8, val, cs[bi])
                     return _c
 
                 jax.lax.fori_loop(kstart, kend, rot, 0)
@@ -344,11 +362,12 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
                     off = lr - base16
                     mk = (sub16 == off).astype(jnp.float32)
                     mk1 = (sub16 == off + 1).astype(jnp.float32)
-                    ohk8 = (lane8 == k).astype(jnp.float32)
-                    g00r = jnp.sum(cs[...] * ohk8 * (row8 == 0))
-                    g00i = jnp.sum(cs[...] * ohk8 * (row8 == 1))
-                    g01r = jnp.sum(cs[...] * ohk8 * (row8 == 2))
-                    g01i = jnp.sum(cs[...] * ohk8 * (row8 == 3))
+                    ohk8 = (lane8 == k - b8).astype(jnp.float32)
+                    csb = cs[bi]
+                    g00r = jnp.sum(csb * ohk8 * (row8 == 0))
+                    g00i = jnp.sum(csb * ohk8 * (row8 == 1))
+                    g01r = jnp.sum(csb * ohk8 * (row8 == 2))
+                    g01i = jnp.sum(csb * ohk8 * (row8 == 3))
                     Ur = Ux[0, pl.ds(base16, 16), :]
                     Ui = Ux[1, pl.ds(base16, 16), :]
                     Ur2, Ui2 = _rot_rows(Ur, Ui, mk, mk1,
@@ -473,6 +492,85 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, h_in, *refs, np_: int,
     stat_ref[1] = hi
 
 
+def _make_scratch(np_: int):
+    return [
+        pltpu.VMEM((2, _WR, _WC), jnp.float32),            # win
+        pltpu.VMEM((2, _WR, _WR), jnp.float32),            # U
+        pltpu.VMEM((2, _WC, _WC), jnp.float32),            # Ux
+        pltpu.VMEM((np_ // _BS + 1, 8, LANES), jnp.float32),  # cs
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # diag cache
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sub cache
+        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sup cache
+        pltpu.VMEM((2, 2, _WR, _SC), jnp.float32),         # slab
+        pltpu.VMEM((2, 2, _RC, _WC), jnp.float32),         # rchunk
+        pltpu.SemaphoreType.DMA((5,)),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0,))
+def qr_eig_blocked_step(p: jax.Array, n: jax.Array, max_sweeps: jax.Array,
+                        tol: jax.Array, shifts: jax.Array | None = None,
+                        n_shifts: jax.Array | int = 0, *,
+                        interpret: bool = False):
+    """Run up to ``max_sweeps`` shifted-Givens sweeps on ALREADY-PADDED
+    HBM planes ``p`` of shape (2, np_ + _RC, np_ + _SC) (the layout
+    ``qr_eig_blocked_planes`` builds), without the per-call re-pad.
+
+    ``shifts`` (2, 1, 128) with ``n_shifts > 0`` cycles an explicit
+    complex shift schedule (AED Ritz values) instead of Wilkinson.
+
+    Returns ``(p', eig_planes (2, 1, np_), sweeps, hi)`` with ``p``
+    donated — the resumable entry the AED driver (qr_aed.py) iterates:
+    the kernel re-derives the active window [lo, hi) from the subdiagonal
+    scan at entry, so sweeps and deflation rounds can interleave freely.
+    """
+    if shifts is None:
+        shifts = jnp.zeros((2, 1, LANES), jnp.float32)
+    return _step_pallas(p, n, max_sweeps, tol, shifts, n_shifts,
+                        interpret=interpret)
+
+
+def _step_pallas(p, n, max_sweeps, tol, shifts, n_shifts, *,
+                 interpret: bool = False):
+    """Raw (unjitted) body of ``qr_eig_blocked_step`` — also inlined by
+    the fused AED round in qr_aed.py."""
+    np_ = p.shape[1] - _RC
+    scal = jnp.stack([jnp.asarray(n, jnp.int32),
+                      jnp.asarray(max_sweeps, jnp.int32),
+                      jnp.asarray(n_shifts, jnp.int32)])
+    tolv = jnp.asarray(tol, jnp.float32).reshape(1)
+    eig, stat, h_out = pl.pallas_call(
+        functools.partial(_qr_blocked_kernel, np_=np_),
+        out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32),
+                   jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
+                                        jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        input_output_aliases={3: 2},
+        scratch_shapes=_make_scratch(np_),
+        interpret=interpret,
+    )(scal, tolv, shifts, p)
+    return h_out, eig, stat[0], stat[1]
+
+
+def pad_for_blocked(planes: jax.Array):
+    """Pad (2, m, m) split planes to the blocked kernel's HBM layout
+    (2, np_ + _RC, np_ + _SC); returns (padded, np_)."""
+    n_planes, m, _ = planes.shape
+    assert n_planes == 2
+    np_ = max(_round_up(m, LANES), 2 * LANES)
+    p = jnp.pad(planes.astype(jnp.float32),
+                ((0, 0), (0, np_ + _RC - m), (0, np_ + _SC - m)))
+    return p, np_
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
 def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
                           max_sweeps: jax.Array, tol: jax.Array, *,
@@ -488,24 +586,13 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
     """
     n_planes, m, _ = planes.shape
     assert n_planes == 2
-    np_ = max(_round_up(m, LANES), 2 * LANES)
-    p = jnp.pad(planes.astype(jnp.float32),
-                ((0, 0), (0, np_ + _RC - m), (0, np_ + _SC - m)))
-    scratch = [
-        pltpu.VMEM((2, _WR, _WC), jnp.float32),            # win
-        pltpu.VMEM((2, _WR, _WR), jnp.float32),            # U
-        pltpu.VMEM((2, _WC, _WC), jnp.float32),            # Ux
-        pltpu.VMEM((8, np_), jnp.float32),                 # cs
-        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # diag cache
-        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sub cache
-        pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sup cache
-        pltpu.VMEM((2, 2, _WR, _SC), jnp.float32),         # slab
-        pltpu.VMEM((2, 2, _RC, _WC), jnp.float32),         # rchunk
-        pltpu.SemaphoreType.DMA((5,)),
-    ]
+    p, np_ = pad_for_blocked(planes)
+    scratch = _make_scratch(np_)
     scal = jnp.stack([jnp.asarray(n, jnp.int32),
-                      jnp.asarray(max_sweeps, jnp.int32)])
+                      jnp.asarray(max_sweeps, jnp.int32),
+                      jnp.zeros((), jnp.int32)])   # no shift schedule
     tolv = jnp.asarray(tol, jnp.float32).reshape(1)
+    sh0 = jnp.zeros((2, 1, LANES), jnp.float32)
     if accumulate_q:
         qeye = jnp.zeros((2, np_ + _RC, np_ + _SC), jnp.float32)
         qeye = qeye.at[0, :np_, :np_].set(jnp.eye(np_, dtype=jnp.float32))
@@ -520,16 +607,17 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
                                             jnp.float32)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.HBM),
                       pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec(memory_space=pltpu.HBM),
                        pl.BlockSpec(memory_space=pltpu.HBM)),
-            input_output_aliases={2: 2, 3: 3},
+            input_output_aliases={3: 2, 4: 3},
             scratch_shapes=scratch,
             interpret=interpret,
-        )(scal, tolv, p, qeye)
+        )(scal, tolv, sh0, p, qeye)
         return (eig[:, 0, :m], stat[0], stat[1],
                 h_out[:, :m, :m], q_out[:, :m, :m])
     eig, stat, _h = pl.pallas_call(
@@ -540,14 +628,15 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
                                         jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.HBM)),
-        input_output_aliases={2: 2},
+        input_output_aliases={3: 2},
         scratch_shapes=scratch,
         interpret=interpret,
-    )(scal, tolv, p)
+    )(scal, tolv, sh0, p)
     return eig[:, 0, :m], stat[0], stat[1]
 
 
@@ -563,16 +652,11 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
     in HBM and the triangular eigenvectors come from host
     back-substitution, exactly like the in-VMEM path)."""
     from .hessenberg_blocked import hessenberg_blocked_planes
-    from .qr_kernels import triangular_eigenvectors
-    a = np.asarray(a)
+    from .qr_kernels import split_planes_f32, triangular_eigenvectors
     n = a.shape[0]
-    if np.iscomplexobj(a):
-        planes = np.stack([a.real, a.imag]).astype(np.float32)
-    else:
-        planes = a.astype(np.float32)[None]
+    planes = split_planes_f32(a)
     if not compute_vectors:
-        h = hessenberg_blocked_planes(jnp.asarray(planes), n,
-                                      interpret=interpret)
+        h = hessenberg_blocked_planes(planes, n, interpret=interpret)
         if h.shape[0] == 1:
             h = jnp.concatenate([h, jnp.zeros_like(h)])
         eig, sweeps, hi = qr_eig_blocked_planes(h, n, max_sweeps, tol,
@@ -580,8 +664,7 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
         e = np.asarray(jax.device_get(eig))
         return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
                 int(sweeps), bool(int(hi) <= 1))
-    h, qh = hessenberg_blocked_planes(jnp.asarray(planes), n,
-                                      interpret=interpret,
+    h, qh = hessenberg_blocked_planes(planes, n, interpret=interpret,
                                       accumulate_q=True)
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])

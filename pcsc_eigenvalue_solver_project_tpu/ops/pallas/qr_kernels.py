@@ -522,6 +522,25 @@ def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
 # high-level helpers used by solvers/qr_eigenvalues.py
 # ---------------------------------------------------------------------------
 
+def split_planes_f32(a) -> jax.Array:
+    """(n, n) real/complex array -> (1 | 2, n, n) f32 split planes.
+
+    A device-resident REAL jax array is cast and stacked ON DEVICE — no
+    host round-trip (VERDICT r3 task 10: the public QR entries used to
+    ``np.asarray`` every input, pulling device matrices to host and
+    re-uploading per call). Complex inputs go through the host: the
+    accelerator backend has no complex dtypes, so a complex array is
+    host/CPU-resident by construction and must be split before upload.
+    """
+    if isinstance(a, jax.Array) and a.dtype.kind != "c":
+        return a.astype(jnp.float32)[None]
+    a_np = np.asarray(a)
+    if np.iscomplexobj(a_np):
+        return jnp.asarray(np.stack([a_np.real, a_np.imag])
+                           .astype(np.float32))
+    return jnp.asarray(a_np.astype(np.float32))[None]
+
+
 def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
                           interpret: bool = False,
                           compute_vectors: bool = False):
@@ -533,18 +552,16 @@ def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
     pairs with ``eigenvalues[i]``) when ``compute_vectors``: both kernels
     accumulate the unitary similarity (Schur ``A = Q T Q^H``) and the
     triangular eigenvectors come from host back-substitution.
-    Input may be any square np/jnp array; computation is f32.
+    Input may be any square np/jnp array; computation is f32. A
+    device-resident real jax array is consumed without a host round-trip
+    (split_planes_f32).
     """
-    a = np.asarray(a)
     n = a.shape[0]
-    if np.iscomplexobj(a):
-        planes = np.stack([a.real, a.imag]).astype(np.float32)
-    else:
-        # real inputs reduce in ONE plane (half the VMEM and flops);
-        # widened to the 2-plane eigenvalue kernel afterwards
-        planes = a.astype(np.float32)[None]
+    # real inputs reduce in ONE plane (half the VMEM and flops);
+    # widened to the 2-plane eigenvalue kernel afterwards
+    planes = split_planes_f32(a)
     if not compute_vectors:
-        h = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret)
+        h = hessenberg_planes(planes, n, interpret=interpret)
         if h.shape[0] == 1:
             h = jnp.concatenate([h, jnp.zeros_like(h)])
         eig, sweeps, hi = qr_hessenberg_eig_planes(
@@ -552,7 +569,7 @@ def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
         e = np.asarray(jax.device_get(eig))
         return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
                 int(sweeps), bool(int(hi) <= 1))
-    h, qh = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret,
+    h, qh = hessenberg_planes(planes, n, interpret=interpret,
                               accumulate_q=True)
     if h.shape[0] == 1:  # real input: widen to the 2-plane eig kernel
         h = jnp.concatenate([h, jnp.zeros_like(h)])
@@ -852,13 +869,9 @@ def qr_parity_pallas(a: np.ndarray, max_iterations: int, tol: float, *,
     + Pallas unshifted full-Householder sweeps. Returns (eigenvalues
     complex64, iterations, converged, last_maxsub) with the reference's
     iteration-count semantics."""
-    a = np.asarray(a)
     n = a.shape[0]
-    if np.iscomplexobj(a):
-        planes = np.stack([a.real, a.imag]).astype(np.float32)
-    else:
-        planes = a.astype(np.float32)[None]   # real path: 1 plane
-    h = hessenberg_planes(jnp.asarray(planes), n, interpret=interpret)
+    planes = split_planes_f32(a)   # real path: 1 plane, device-resident
+    h = hessenberg_planes(planes, n, interpret=interpret)
     h2, it, conv, maxsub = qr_parity_planes(h, n, max_iterations, tol,
                                             interpret=interpret)
     e = np.asarray(jax.device_get(h2))

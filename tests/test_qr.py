@@ -8,6 +8,8 @@ bounds. Adds accelerated-mode (Wilkinson shift + deflation) coverage the
 reference lacks.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -204,3 +206,63 @@ class TestQREigenvaluesAccelerated:
                            QROptions(mode="accelerated"))
         assert bool(r.converged)
         assert spectrum_distance(np.asarray(r.eigenvalues), [1, 2, 3]) < 1e-12
+
+
+class TestParityFallbackWarning:
+    def test_parity_complex_beyond_vmem_cap_warns(self, monkeypatch):
+        """Parity mode beyond the in-VMEM kernel caps must warn about the
+        host-CPU fallback, never route there silently (VERDICT r3 task 8;
+        the reference iteration, qr_eigenvalues.hpp:40-108, has no size
+        cliff). The accelerator predicate is monkeypatched so the
+        dispatch condition is exercised on the CPU test mesh."""
+        from pcsc_eigenvalue_solver_project_tpu.solvers import (
+            qr_eigenvalues as qe)
+        monkeypatch.setattr(qe, "_f32_class_on_accel",
+                            lambda dtype, backend=None: True)
+        n = qe._PALLAS_QR_PARITY_MAX_N[2] + 1
+        a = (np.triu(np.ones((n, n))) + 1j * np.eye(n)).astype(np.complex64)
+        with pytest.warns(UserWarning, match="in-VMEM\n?.*parity"):
+            qe.qr_eigenvalues(DenseMatrix.from_array(a, dtype=np.complex64),
+                              QROptions(mode="parity", max_iterations=1))
+
+    def test_parity_within_cap_does_not_warn(self, monkeypatch, recwarn):
+        from pcsc_eigenvalue_solver_project_tpu.solvers import (
+            qr_eigenvalues as qe)
+        a = np.diag(np.arange(1.0, 5.0)).astype(np.float32)
+        qe.qr_eigenvalues(DenseMatrix.from_array(a, dtype=np.float32),
+                          QROptions(mode="parity", max_iterations=5))
+        assert not [w for w in recwarn.list
+                    if "parity kernel" in str(w.message)]
+
+
+class TestDeviceResidentEntry:
+    """VERDICT r3 task 10: public QR entries must not round-trip
+    device-resident matrices through host numpy."""
+
+    def test_split_planes_no_transfer_for_device_real(self):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels \
+            import split_planes_f32
+        a = jnp.eye(130, dtype=jnp.float32) * 2.0
+        with jax.transfer_guard("disallow"):
+            planes = split_planes_f32(a)
+        assert planes.shape == (1, 130, 130)
+        assert planes.dtype == jnp.float32
+
+    def test_dispatch_hands_pallas_the_device_array(self, monkeypatch):
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas import (
+            qr_kernels as qk)
+        from pcsc_eigenvalue_solver_project_tpu.solvers import (
+            qr_eigenvalues as qe)
+        seen = {}
+
+        def fake_pallas(a, max_sweeps, tol, **kw):
+            seen["type"] = type(a)
+            return (np.zeros(a.shape[0], np.complex64), 1, True)
+
+        monkeypatch.setattr(qe, "_f32_class_on_accel",
+                            lambda dtype, backend=None: True)
+        monkeypatch.setattr(qk, "qr_eigenvalues_pallas", fake_pallas)
+        a = np.diag(np.arange(1.0, 9.0)).astype(np.float32)
+        qe.qr_eigenvalues(DenseMatrix.from_array(a, dtype=np.float32),
+                          QROptions(mode="accelerated"))
+        assert issubclass(seen["type"], jax.Array)

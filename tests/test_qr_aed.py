@@ -1,0 +1,97 @@
+"""Aggressive early deflation for the HBM-blocked QR (interpret mode).
+
+VERDICT r3 task 1: AED rounds (windowed in-VMEM Schur, spike-based bulk
+deflation, re-Hessenberg writeback, Ritz-value shift cycling) composed
+with the blocked sweep kernel. Semantics generalized from
+/root/reference/src/qr_method/qr_eigenvalues.hpp:40-108 — eigenvalue
+outputs must match the reference envelope; iteration/deflation contracts
+are the shifted+deflated superset of SURVEY §7 step 5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked import (
+    hessenberg_blocked_planes)
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+    _aed_round, qr_eig_blocked_aed_planes, qr_eigenvalues_pallas_blocked_aed)
+from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked import (
+    pad_for_blocked)
+
+
+def _nn_eig_err(ea, eb):
+    d = np.abs(np.asarray(ea)[:, None] - np.asarray(eb)[None, :])
+    return max(d.min(axis=1).max(), d.min(axis=0).max()) \
+        / max(1.0, np.abs(ea).max())
+
+
+def test_aed_full_rank_spectrum_and_sweep_cut():
+    """Full-rank uniform-[1,2] spectrum (nothing trivially deflatable):
+    AED converges well under the ~2-sweeps-per-eigenvalue cost of the
+    plain Wilkinson iteration."""
+    n = 220
+    rng = np.random.default_rng(0)
+    d = np.sort(rng.uniform(1.0, 2.0, n))[::-1]
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    eigs, sweeps, conv = qr_eigenvalues_pallas_blocked_aed(
+        a, 40 * n, 3e-6, w=64, sweeps_per_round=8, interpret=True)
+    assert conv
+    assert np.abs(np.sort(eigs.real) - np.sort(d)).max() < 1e-4
+    assert np.abs(eigs.imag).max() < 1e-4
+    # the sweep cut is the point: plain single-shift needs ~2n sweeps
+    assert sweeps < n
+
+
+def test_aed_complex_spectrum():
+    n = 150
+    rng = np.random.default_rng(3)
+    a = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex64) / np.sqrt(n)
+    eigs, sweeps, conv = qr_eigenvalues_pallas_blocked_aed(
+        a, 40 * n, 3e-6, w=64, sweeps_per_round=8, interpret=True)
+    assert conv
+    ref = np.linalg.eigvals(a.astype(np.complex128))
+    assert _nn_eig_err(ref, eigs) < 5e-4
+
+
+def test_aed_round_preserves_spectrum_and_hessenberg():
+    """One _aed_round is a similarity of the live block: eigenvalues
+    unchanged, structure stays exactly Hessenberg."""
+    n = 200
+    w = 64
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    h = hessenberg_blocked_planes(jnp.asarray(a[None]), n, interpret=True)
+    h = jnp.concatenate([h, jnp.zeros_like(h)])
+    before = np.linalg.eigvals(np.asarray(h[0]).astype(np.float64)
+                               + 1j * np.asarray(h[1]).astype(np.float64))
+    p, np_ = pad_for_blocked(h)
+    p2, d, hi_w, shifts, ns = _aed_round(
+        p, jnp.asarray(n, jnp.int32), jnp.asarray(3e-6, jnp.float32),
+        w=w, interpret=True)
+    Hc = (np.asarray(p2[0]) + 1j * np.asarray(p2[1]))[:n, :n]
+    assert np.abs(np.tril(Hc, -2)).max() == 0.0  # exact Hessenberg mask
+    after = np.linalg.eigvals(Hc.astype(np.complex128))
+    assert _nn_eig_err(before, after) < 5e-5
+    assert int(ns) >= 1  # shift schedule populated
+
+
+def test_aed_planes_entry_matches_reference_spectrum():
+    """Driver entry on pre-reduced planes, mild clustered spectrum."""
+    n = 180
+    rng = np.random.default_rng(7)
+    d = np.concatenate([np.full(30, 2.0) + 1e-3 * rng.standard_normal(30),
+                        rng.uniform(0.5, 1.5, n - 30)])
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    h = hessenberg_blocked_planes(jnp.asarray(a[None]), n, interpret=True)
+    h = jnp.concatenate([h, jnp.zeros_like(h)])
+    eig, sweeps, hi = qr_eig_blocked_aed_planes(
+        h, n, 40 * n, 3e-6, w=64, sweeps_per_round=8, interpret=True)
+    assert hi <= 1
+    e = np.asarray(eig)
+    got = np.sort(e[0])
+    assert np.abs(got - np.sort(d)).max() < 5e-4
