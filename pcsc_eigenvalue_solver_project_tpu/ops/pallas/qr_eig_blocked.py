@@ -652,7 +652,7 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
     in HBM and the triangular eigenvectors come from host
     back-substitution, exactly like the in-VMEM path)."""
     from .hessenberg_blocked import hessenberg_blocked_planes
-    from .qr_kernels import split_planes_f32, triangular_eigenvectors
+    from .qr_kernels import split_planes_f32
     n = a.shape[0]
     planes = split_planes_f32(a)
     if not compute_vectors:
@@ -673,12 +673,10 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
         h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))
     eigs = (e[0] + 1j * e[1])[:n].astype(np.complex64)
-    t = np.asarray(jax.device_get(t_pl))
-    T = (t[0] + 1j * t[1])[:n, :n].astype(np.complex128)
-    q = np.asarray(jax.device_get(qs))
-    qhp = np.asarray(jax.device_get(qh))
-    Q = ((qhp[0] + 1j * qhp[1]) @ (q[0] + 1j * q[1]))[:n, :n]
-    V = Q.astype(np.complex128) @ triangular_eigenvectors(T)
-    V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
-                        1e-30)).astype(np.complex64)
+    # device-resident finishing (VERDICT r3 task 3): Q_hess @ Q_sweeps,
+    # Pallas blocked back-substitution, column normalization — only the
+    # final V transfers to host
+    from .qr_kernels import finish_eigenvectors_device, plane_matmul
+    V = finish_eigenvectors_device(t_pl, plane_matmul(qh, qs), n,
+                                   interpret=interpret)
     return eigs, int(sweeps), bool(int(hi) <= 1), V

@@ -522,6 +522,38 @@ def qr_hessenberg_eig_planes(planes: jax.Array, n: jax.Array,
 # high-level helpers used by solvers/qr_eigenvalues.py
 # ---------------------------------------------------------------------------
 
+def plane_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Split-plane complex matmul (2, m, k) @ (2, k, n) on device."""
+    HI = jax.lax.Precision.HIGHEST
+
+    def d(x, y):
+        return jnp.dot(x, y, precision=HI,
+                       preferred_element_type=jnp.float32)
+
+    return jnp.stack([d(A[0], B[0]) - d(A[1], B[1]),
+                      d(A[0], B[1]) + d(A[1], B[0])])
+
+
+def finish_eigenvectors_device(t_planes: jax.Array, q_planes: jax.Array,
+                               n: int, *, interpret: bool = False):
+    """Device-resident eigenvector finishing for the compute_vectors
+    paths (VERDICT r3 task 3): Y from the Pallas blocked triangular
+    back-substitution, V = Q Y composed and column-normalized on device.
+    Only the final V transfers to host. Returns complex64 (n, n)."""
+    from .trisolve_vec import triangular_eigenvectors_planes
+    scale = jnp.maximum(jnp.sqrt(jnp.max(t_planes[0] * t_planes[0]
+                                         + t_planes[1] * t_planes[1])),
+                        1.0)
+    eps = jnp.float32(np.finfo(np.float32).eps) * scale
+    Y = triangular_eigenvectors_planes(t_planes, n, eps,
+                                       interpret=interpret)
+    V = plane_matmul(q_planes, Y)
+    n2 = jnp.sum(V * V, axis=(0, 1))
+    V = V / jnp.maximum(jnp.sqrt(n2), 1e-30)[None, None, :]
+    v = np.asarray(jax.device_get(V))
+    return (v[0] + 1j * v[1])[:n, :n].astype(np.complex64)
+
+
 def split_planes_f32(a) -> jax.Array:
     """(n, n) real/complex array -> (1 | 2, n, n) f32 split planes.
 
@@ -578,14 +610,11 @@ def qr_eigenvalues_pallas(a: np.ndarray, max_sweeps: int, tol: float, *,
         h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))
     eigs = (e[0] + 1j * e[1])[:n].astype(np.complex64)
-    t = np.asarray(jax.device_get(t_pl))
-    T = (t[0] + 1j * t[1])[:n, :n].astype(np.complex128)
-    q = np.asarray(jax.device_get(qs))
-    qhp = np.asarray(jax.device_get(qh))
-    Q = ((qhp[0] + 1j * qhp[1]) @ (q[0] + 1j * q[1]))[:n, :n]
-    V = Q.astype(np.complex128) @ triangular_eigenvectors(T)
-    V = (V / np.maximum(np.linalg.norm(V, axis=0, keepdims=True),
-                        1e-30)).astype(np.complex64)
+    # device-resident finishing: Q_hess @ Q_sweeps, blocked triangular
+    # back-substitution, and column normalization all on the accelerator
+    # (VERDICT r3 task 3); only the final V transfers to host
+    V = finish_eigenvectors_device(t_pl, plane_matmul(qh, qs), n,
+                                   interpret=interpret)
     return eigs, int(sweeps), bool(int(hi) <= 1), V
 
 
