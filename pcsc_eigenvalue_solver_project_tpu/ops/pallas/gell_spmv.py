@@ -82,11 +82,19 @@ class GELLPack:
     sp_rows: jax.Array      # (n_spill,) int32
     sp_cols: jax.Array      # (n_spill,) int32
     sp_vals: jax.Array      # (n_spill,) | (2, n_spill)
+    # column-panel pruning (VERDICT r3 task 5): chunk_ids[t, 0, j] lists
+    # the x-chunks tile t actually touches (j < max_chunks, padded by
+    # repeating the first id); the kernel's gather loop visits only
+    # these instead of all ceil(n_cols/16384) chunks, breaking the
+    # n-proportional chunk-loop cost for matrices with column locality.
+    chunk_ids: jax.Array    # (n_tiles, 1, maxc_pad) int32
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     tile_rows: int = dataclasses.field(metadata=dict(static=True))
     scan_steps: int = dataclasses.field(default=3, metadata=dict(static=True))
     is_complex: bool = dataclasses.field(default=False,
                                          metadata=dict(static=True))
+    max_chunks: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
@@ -121,6 +129,10 @@ class GELLPack:
         halve the value-plane HBM traffic (f32 accumulation regardless)."""
         return dataclasses.replace(self, val=self.val.astype(dtype),
                                    sp_vals=self.sp_vals.astype(dtype))
+
+
+def _round_up_gell(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def auto_tile_rows(n_rows: int, nnz: int) -> int:
@@ -225,6 +237,24 @@ def pack_gell(row, col, values, shape, tile_rows: int | None = None) -> GELLPack
     ht, hl, ho, hs = kt[heads], kl[heads], ko[heads], kslot[heads]
     inv_arr[ht, ho // LANES, hl, ho % LANES] = (hs | 0x80).astype(np.uint8)
 
+    # per-tile touched-chunk lists (kept entries only; spill is gathered
+    # separately) — chunk = seg // 128
+    n_chunks_tot = max(-(-(-(-n_cols // LANES)) // LANES), 1)
+    kchunk = (kg // LANES).astype(np.int64)
+    touched = np.zeros((n_tiles, n_chunks_tot), bool)
+    if len(kt):
+        touched[kt, kchunk] = True
+    counts = touched.sum(axis=1)
+    max_chunks = int(max(counts.max() if n_tiles else 1, 1))
+    maxc_pad = _round_up_gell(max_chunks, LANES)
+    cid = np.zeros((n_tiles, 1, maxc_pad), np.int32)
+    for t in range(n_tiles):
+        ids = np.flatnonzero(touched[t])
+        if len(ids) == 0:
+            ids = np.array([0])
+        cid[t, 0, :len(ids)] = ids
+        cid[t, 0, len(ids):] = ids[0]   # pad by repetition (harmless)
+
     return GELLPack(
         seg_packed=jnp.asarray(seg_arr),
         val=jnp.asarray(val_arr),
@@ -233,10 +263,12 @@ def pack_gell(row, col, values, shape, tile_rows: int | None = None) -> GELLPack
         sp_rows=jnp.asarray(r_[spill], jnp.int32),
         sp_cols=jnp.asarray(c_[spill], jnp.int32),
         sp_vals=jnp.asarray(sp_vals),
+        chunk_ids=jnp.asarray(cid),
         shape=(n_rows, n_cols),
         tile_rows=T,
         scan_steps=scan_steps,
         is_complex=is_complex,
+        max_chunks=max_chunks,
     )
 
 
@@ -277,14 +309,32 @@ def _decode_inv(inv8):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _gather_chunks(seg, xt_ref, n_chunks, plane=None):
+def _gather_chunks(seg, xt_ref, n_chunks, plane=None, cid_ref=None,
+                   max_chunks=None):
     """x value for every slot: one lane-gather per 128-segment chunk.
     Accumulates via ``where`` select so an Inf/NaN in one x chunk can
     never leak into slots belonging to other chunks (0 * NaN = NaN would;
-    the select measures within noise of the multiply on this VPU)."""
+    the select measures within noise of the multiply on this VPU).
+
+    With ``cid_ref``/``max_chunks`` (column-panel pruning, VERDICT r3
+    task 5) the loop visits only the chunks THIS tile touches — the
+    chunk id is read from the per-tile list and used as a dynamic index
+    into the x-chunk stack, so the cost scales with the tile's column
+    footprint instead of ceil(n_cols/16384). Padding ids repeat the
+    first entry; the where-select makes re-visits idempotent."""
     s_lo = seg & (LANES - 1)
     s_hi = seg >> 7
     t = jnp.zeros((LANES, LANES), jnp.float32)
+    if cid_ref is not None and max_chunks is not None \
+            and 0 < max_chunks < n_chunks:
+        lane_c = jax.lax.broadcasted_iota(
+            jnp.int32, cid_ref[0].shape, len(cid_ref[0].shape) - 1)
+        for lc in range(max_chunks):
+            gc = jnp.sum(jnp.where(lane_c == lc, cid_ref[0], 0))
+            src = xt_ref[gc] if plane is None else xt_ref[plane, gc]
+            g = jnp.take_along_axis(src, s_lo, axis=1)
+            t = jnp.where(s_hi == gc, g, t)
+        return t
     for c in range(n_chunks):
         src = xt_ref[c] if plane is None else xt_ref[plane, c]
         g = jnp.take_along_axis(src, s_lo, axis=1)
@@ -303,22 +353,25 @@ def _invert_to_rows(p, inv_ref, ng):
     return jnp.concatenate(outs, axis=0)
 
 
-def _gell_kernel(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
-                 n_chunks, ng, scan_steps):
+def _gell_kernel(seg_ref, val_ref, inv_ref, cid_ref, xt_ref, out_ref, *,
+                 n_chunks, ng, scan_steps, max_chunks):
     seg, word, bits = _decode_seg(seg_ref[0])
-    t = _gather_chunks(seg, xt_ref, n_chunks)
+    t = _gather_chunks(seg, xt_ref, n_chunks, cid_ref=cid_ref,
+                       max_chunks=max_chunks)
     p = val_ref[0].astype(jnp.float32) * t
     p = _scan_runs(p, word, bits, scan_steps,
                    lambda q, k: pltpu.roll(q, LANES - k, 1))
     out_ref[0] = _invert_to_rows(p, inv_ref, ng)
 
 
-def _gell_kernel_cpx(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
-                     n_chunks, ng, scan_steps):
+def _gell_kernel_cpx(seg_ref, val_ref, inv_ref, cid_ref, xt_ref, out_ref,
+                     *, n_chunks, ng, scan_steps, max_chunks):
     """Fused complex pass: one segment/inverse load, two gathers/chunk."""
     seg, word, bits = _decode_seg(seg_ref[0])
-    tr = _gather_chunks(seg, xt_ref, n_chunks, plane=0)
-    ti = _gather_chunks(seg, xt_ref, n_chunks, plane=1)
+    tr = _gather_chunks(seg, xt_ref, n_chunks, plane=0, cid_ref=cid_ref,
+                        max_chunks=max_chunks)
+    ti = _gather_chunks(seg, xt_ref, n_chunks, plane=1, cid_ref=cid_ref,
+                        max_chunks=max_chunks)
     vr = val_ref[0, 0].astype(jnp.float32)
     vi = val_ref[0, 1].astype(jnp.float32)
     pr = vr * tr - vi * ti
@@ -340,13 +393,15 @@ def _gell_kernel_cpx(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "ng", "scan_steps",
-                                             "interpret"))
-def _gell_tiles_pallas(seg_packed, val, inv, x_t, n_chunks: int, ng: int,
-                       scan_steps: int, interpret: bool):
+                                             "max_chunks", "interpret"))
+def _gell_tiles_pallas(seg_packed, val, inv, cid, x_t, n_chunks: int,
+                       ng: int, scan_steps: int, max_chunks: int,
+                       interpret: bool):
     n_tiles = seg_packed.shape[0]
+    maxc_pad = cid.shape[2]
     out = pl.pallas_call(
         functools.partial(_gell_kernel, n_chunks=n_chunks, ng=ng,
-                          scan_steps=scan_steps),
+                          scan_steps=scan_steps, max_chunks=max_chunks),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * ng, LANES), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -356,24 +411,28 @@ def _gell_tiles_pallas(seg_packed, val, inv, x_t, n_chunks: int, ng: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ng * LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, maxc_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8 * ng, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(seg_packed, val, inv, x_t)
+    )(seg_packed, val, inv, cid, x_t)
     # final 8-way reduction: (n_tiles, ng, 8, LANES) -> rows
     return out.reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "ng", "scan_steps",
-                                             "interpret"))
-def _gell_tiles_pallas_cpx(seg_packed, val, inv, x_t2, n_chunks: int, ng: int,
-                           scan_steps: int, interpret: bool):
+                                             "max_chunks", "interpret"))
+def _gell_tiles_pallas_cpx(seg_packed, val, inv, cid, x_t2, n_chunks: int,
+                           ng: int, scan_steps: int, max_chunks: int,
+                           interpret: bool):
     n_tiles = seg_packed.shape[0]
+    maxc_pad = cid.shape[2]
     out = pl.pallas_call(
         functools.partial(_gell_kernel_cpx, n_chunks=n_chunks, ng=ng,
-                          scan_steps=scan_steps),
+                          scan_steps=scan_steps, max_chunks=max_chunks),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 2, 8 * ng, LANES),
                                        jnp.float32),
         grid=(n_tiles,),
@@ -384,13 +443,15 @@ def _gell_tiles_pallas_cpx(seg_packed, val, inv, x_t2, n_chunks: int, ng: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ng * LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, maxc_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, 8 * ng, LANES),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(seg_packed, val, inv, x_t2)
+    )(seg_packed, val, inv, cid, x_t2)
     yr = out[:, 0].reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
     yi = out[:, 1].reshape(n_tiles, ng, 8, LANES).sum(axis=2).reshape(-1)
     return yr, yi
@@ -447,8 +508,9 @@ def gell_matvec_planes(pack: GELLPack, x_planes: jax.Array, *,
         x_t2 = xp.reshape(2, -1, LANES).transpose(0, 2, 1) \
             .reshape(2, LANES, n_chunks, LANES).transpose(0, 2, 1, 3)
         yr, yi = _gell_tiles_pallas_cpx(
-            pack.seg_packed, pack.val, pack.inv, x_t2, n_chunks, ng,
-            pack.scan_steps, force == "interpret")
+            pack.seg_packed, pack.val, pack.inv, pack.chunk_ids, x_t2,
+            n_chunks, ng, pack.scan_steps, pack.max_chunks,
+            force == "interpret")
         yr, yi = yr.astype(rdt), yi.astype(rdt)
     else:
         vr, vi = pack.val[:, 0].astype(rdt), pack.val[:, 1].astype(rdt)
@@ -486,8 +548,9 @@ def gell_matvec(pack: GELLPack, x: jax.Array, *, force: str | None = None) -> ja
     if _use_pallas(pack, force):
         x_t = xp.astype(jnp.float32).reshape(-1, LANES).T \
             .reshape(LANES, n_chunks, LANES).transpose(1, 0, 2)
-        y = _gell_tiles_pallas(pack.seg_packed, pack.val, pack.inv, x_t,
-                               n_chunks, ng, pack.scan_steps,
+        y = _gell_tiles_pallas(pack.seg_packed, pack.val, pack.inv,
+                               pack.chunk_ids, x_t, n_chunks, ng,
+                               pack.scan_steps, pack.max_chunks,
                                force == "interpret").astype(x.dtype)
     else:
         y = _gell_tiles_xla(pack.seg_packed, pack.val.astype(x.dtype),

@@ -42,8 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _PR = LANES + 16   # scratch rows: 16-row aligned windows reach past 128
-_JC = 512      # GEMM streaming tile (rows of Y / cols of T strip)
-_CC = 512      # GEMM streaming tile (cols of Y)
+_JC = 256      # GEMM streaming tile (rows of Y / cols of T strip)
+_CC = 256      # GEMM streaming tile (cols of Y)
+# (512x512 tiles exceeded the 16 MB scoped-VMEM cap at n=2048 once the
+# HIGHEST-precision matmul's bf16 operand splits and the rescaling
+# temporaries are counted; 256 keeps DMA granularity at 0.5 MB)
 # LAPACK-style adaptive column rescaling: back-substitution growth can
 # overflow f32 (clustered eigenvalues / heavy off-diagonals). When a
 # column's new entry exceeds _BIG, the whole column (current block state

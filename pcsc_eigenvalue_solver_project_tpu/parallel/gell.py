@@ -123,10 +123,14 @@ def gell_local_matvec(seg, val, inv, sp_r, sp_c, sp_v, x_full, *,
                       scan_steps: int = 3, force: str | None = None):
     """Local-block SpMV (runs inside shard_map; x_full is the gathered
     iterate). The local block IS a GELLPack over (rps, n_cols)."""
+    # max_chunks=0 disables column-panel pruning: the distributed path
+    # gathers the full x anyway and ships no per-tile chunk lists
     pack = GELLPack(seg_packed=seg, val=val, inv=inv,
                     sp_rows=sp_r[0], sp_cols=sp_c[0], sp_vals=sp_v[0],
+                    chunk_ids=jnp.zeros((seg.shape[0], 1, LANES),
+                                        jnp.int32),
                     shape=(rps, n_cols), tile_rows=tile_rows,
-                    scan_steps=scan_steps, is_complex=False)
+                    scan_steps=scan_steps, is_complex=False, max_chunks=0)
     return gell_matvec(pack, x_full, force=force)
 
 
