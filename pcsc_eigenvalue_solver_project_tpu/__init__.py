@@ -34,7 +34,8 @@ from .solvers.solve_shifted import solve_shifted
 from .solvers.hessenberg import to_hessenberg
 from .solvers.qr import qr_decompose
 from .solvers.qr_eigenvalues import qr_eigenvalues
-from .solvers.arnoldi import arnoldi_eigenvalues
+from .solvers.arnoldi import (arnoldi_eigenvalues,
+                              krylov_schur_eigenvalues)
 from .solvers.lanczos import (lanczos_eigenpairs, lanczos_eigenvalues,
                               lanczos_thick_restart)
 from .solvers.lobpcg import lobpcg_eigenvalues
@@ -53,6 +54,7 @@ __all__ = [
     "InterleavedSplitComplexDIA",
     "SplitComplexDIA",
     "arnoldi_eigenvalues",
+    "krylov_schur_eigenvalues",
     "lanczos_eigenpairs",
     "lanczos_eigenvalues",
     "lanczos_thick_restart",

@@ -256,12 +256,13 @@ def _local_matvec_factory(A: PrunedGELL, axis: str):
     return local
 
 
-def _in_specs(A: PrunedGELL, axis: str):
+def _in_specs(A: PrunedGELL, axis: str, x_spec=None):
     p3 = P(axis, None, None)
     p2 = P(axis, None)
     return (p3, p3, p3, p2, p2, p2,
             p3, p3, p3, p2, p2, p2,
-            tuple((p2, p2) for _ in A.plan), P(axis))
+            tuple((p2, p2) for _ in A.plan),
+            P(axis) if x_spec is None else x_spec)
 
 
 def _args(A: PrunedGELL, x):

@@ -128,3 +128,43 @@ class TestDistributedPower:
         seq = power_method(m, SolverOptions(tolerance=1e-10), key=key)
         np.testing.assert_allclose(complex(res.eigenvalue), complex(seq.eigenvalue),
                                    rtol=1e-8)
+
+
+class TestDistributedKrylovSchur:
+    def test_clustered_spectrum_converges_where_fixed_m_fails(self, key):
+        """VERDICT r3 task 7 distributed leg: shard-mapped Krylov-Schur
+        basis extension + host ordered-Schur contraction."""
+        from pcsc_eigenvalue_solver_project_tpu.parallel.arnoldi import (
+            distributed_arnoldi_eigenvalues,
+            distributed_krylov_schur_eigenvalues)
+        mesh = make_row_mesh()
+        rng = np.random.default_rng(0)
+        n = 320
+        diag = np.concatenate([[5.0, 4.9995, 4.999],
+                               rng.uniform(0, 4.0, n - 3)])
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            rows.append(i); cols.append(i); vals.append(diag[i])
+            for off in (-3, 2):
+                j = i + off
+                if 0 <= j < n:
+                    rows.append(i); cols.append(j)
+                    vals.append(0.01 * rng.standard_normal())
+        csr = SparseCSR.from_coo(np.array(rows), np.array(cols),
+                                 np.array(vals, np.float64), (n, n),
+                                 dtype=np.float64)
+        A = partition_ell(csr, mesh)
+        truth = np.sort(np.linalg.eigvals(
+            np.asarray(csr.to_dense())).real)[::-1][:3]
+        opts = SolverOptions(tolerance=1e-8)
+        fixed = distributed_arnoldi_eigenvalues(A, mesh, k=3, m=15,
+                                                opts=opts, key=key)
+        fe = np.abs(np.sort(np.asarray(fixed.eigenvalues.real))[::-1]
+                    - truth).max()
+        ks = distributed_krylov_schur_eigenvalues(A, mesh, k=3, m=15,
+                                                  opts=opts, key=key)
+        ke = np.abs(np.sort(np.asarray(ks.eigenvalues.real))[::-1]
+                    - truth).max()
+        assert fe > 1e-3
+        assert bool(ks.converged)
+        assert ke < 1e-7
