@@ -112,7 +112,8 @@ def bench_spmv(n: int, verbose: bool):
     return results
 
 
-def bench_general(n: int, nnz_per_row: int, verbose: bool):
+def bench_general(n: int, nnz_per_row: int, verbose: bool,
+                  pattern: str = "uniform"):
     """General (unstructured) sparse SpMV inside the power loop — the
     reference's sparse hot op with no exploitable structure
     (power_method.hpp:69, arbitrary Eigen::SparseMatrix). Fast path: the
@@ -125,7 +126,13 @@ def bench_general(n: int, nnz_per_row: int, verbose: bool):
 
     rng = np.random.default_rng(0)
     rows = np.repeat(np.arange(n), nnz_per_row)
-    cols = rng.integers(0, n, n * nnz_per_row)
+    if pattern == "local":
+        # FEM/graph-style column locality: columns within +-8192 of the
+        # row — the class the GELL column-panel pruning accelerates
+        off = rng.integers(-8192, 8193, n * nnz_per_row)
+        cols = np.clip(rows + off, 0, n - 1)
+    else:
+        cols = rng.integers(0, n, n * nnz_per_row)
     vals = rng.standard_normal(n * nnz_per_row).astype(np.float32)
     key = rows.astype(np.int64) * n + cols
     _, uniq = np.unique(key, return_index=True)
@@ -286,13 +293,13 @@ def bench_qr(n: int, verbose: bool):
         # blocked leg therefore uses a FULL-RANK-at-f32 operand:
         # eigenvalues uniform in [1, 2] via Q diag Q^T (every adjacent
         # gap resolvable at f32, nothing underflows, no cluster at 0).
-        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
-            import qr_eigenvalues_pallas_blocked
+        from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed \
+            import qr_eigenvalues_pallas_blocked_aed
         d = np.sort(rng.uniform(1.0, 2.0, n))[::-1].astype(np.float64)
         Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
         a = ((Qo * d) @ Qo.T).astype(np.float32)
         accel_wall, (eig_a, sweeps_a, conv_a) = timed(
-            lambda: qr_eigenvalues_pallas_blocked(a, 40 * n, tol))
+            lambda: qr_eigenvalues_pallas_blocked_aed(a, 40 * n, tol))
         t0 = time.perf_counter()
         _ = np.linalg.eigvals(a)
         lapack_wall = time.perf_counter() - t0
@@ -336,6 +343,37 @@ def bench_qr(n: int, verbose: bool):
             "baseline": "parity_kernel_same_chip",
             "spectrum": "geometric_0.9^i",
             "sweeps": int(sweeps_a), "err": float(err_a)}
+
+
+def bench_eigvec(n: int, verbose: bool):
+    """Full-eigenpair wall-clock: on-chip Schur (blocked kernels with Q
+    accumulation) + Pallas triangular back-substitution + device
+    composition/normalization; only the final V transfers to host."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
+        import qr_eigenvalues_pallas_blocked
+
+    rng = np.random.default_rng(0)
+    d = np.sort(rng.uniform(1.0, 2.0, n))[::-1]
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    tol = 3e-6
+    _ = qr_eigenvalues_pallas_blocked(a, 40 * n, tol, compute_vectors=True)
+    t0 = time.perf_counter()
+    eigs, sweeps, conv, V = qr_eigenvalues_pallas_blocked(
+        a, 40 * n, tol, compute_vectors=True)
+    wall = time.perf_counter() - t0
+    ac = a.astype(np.complex128)
+    Vc = V.astype(np.complex128)
+    res = np.abs(ac @ Vc - Vc * eigs[None, :].astype(np.complex128)).max() \
+        / max(1.0, np.abs(a).max())
+    t0 = time.perf_counter()
+    _w, _v = np.linalg.eig(a)
+    lapack_wall = time.perf_counter() - t0
+    if verbose:
+        print(f"# eigvec {n}: on-chip {wall:.2f}s (sweeps={sweeps}, "
+              f"conv={conv}, residual={res:.1e}) | host LAPACK eig "
+              f"{lapack_wall:.2f}s", file=sys.stderr)
+    return wall, bool(conv), float(res), lapack_wall
 
 
 def bench_gmres(verbose: bool):
@@ -422,7 +460,9 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--suite", default="spmv",
                     choices=["spmv", "qr", "block", "complex", "general",
-                             "gmres"])
+                             "gmres", "eigvec"])
+    ap.add_argument("--pattern", default="uniform",
+                    choices=["uniform", "local"])
     ap.add_argument("--nvec", type=int, default=8)
     ap.add_argument("--nnz-per-row", type=int, default=33)
     ap.add_argument("--qr-n", type=int, default=512)
@@ -434,9 +474,11 @@ def main():
 
     if args.suite == "general":
         results = bench_general(args.n, args.nnz_per_row,
-                                verbose=not args.json_only)
+                                verbose=not args.json_only,
+                                pattern=args.pattern)
         _emit_and_cache({
-            "metric": f"spmv_general_nnz_per_s_{args.n // 1000}k_pallas_gell",
+            "metric": f"spmv_general_nnz_per_s_{args.n // 1000}k_"
+                      f"{args.pattern}_pallas_gell",
             "value": round(results["pallas_gell"], 1),
             "unit": "nnz/s",
             "vs_baseline": round(results["pallas_gell"] / results["ell_gather"], 3),
@@ -462,6 +504,19 @@ def main():
             "value": round(best, 1),
             "unit": "nnz/s",
             "vs_baseline": round(best / results["il_planes_f32"], 3),
+        })
+        return
+    if args.suite == "eigvec":
+        wall, conv, res, lapack_wall = bench_eigvec(
+            args.qr_n, verbose=not args.json_only)
+        _emit_and_cache({
+            "metric": f"qr_eigenpairs_wallclock_{args.qr_n}",
+            "value": round(wall, 4),
+            "unit": "s",
+            "vs_baseline": round(lapack_wall / wall, 3) if conv else 0.0,
+            "baseline": "host_lapack_eig_same_matrix",
+            "max_residual": res,
+            "converged": conv,
         })
         return
     if args.suite == "gmres":

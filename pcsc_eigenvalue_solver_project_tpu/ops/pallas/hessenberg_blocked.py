@@ -472,10 +472,13 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
     nout_ref[0] = n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q"))
+@functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q",
+                                             "nb", "slab_r"))
 def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
                               interpret: bool = False,
-                              accumulate_q: bool = False):
+                              accumulate_q: bool = False,
+                              nb: int | None = None,
+                              slab_r: int | None = None):
     """Blocked Hessenberg reduction of split planes, HBM-resident.
 
     ``planes``: (n_planes, m, m) f32 (1 = real, 2 = re/im), live region
@@ -486,11 +489,13 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     """
     n_planes, m, _ = planes.shape
     np_ = max(_round_up(m, LANES), 2 * LANES)
-    nb = 64
+    if nb is None:
+        nb = 64
     # complex n=2048 overflows the 16 MB scoped-VMEM stack by ~0.8 MB at
     # slab_r=64 (even with the fused plane-pair matmuls); halving the
     # slab window buys ~1.3 MB of declared buffer + slab temporaries
-    slab_r = 64 if n_planes == 1 else 32
+    if slab_r is None:
+        slab_r = 64 if n_planes == 1 else 32
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
     scratch = [

@@ -96,7 +96,9 @@ def test_dispatch_no_cpu_fallback_for_f32_up_to_2048():
     size <= 2048 routes to the host-CPU XLA path in accelerated mode."""
     from pcsc_eigenvalue_solver_project_tpu.solvers.qr_eigenvalues import (
         qr_dispatch)
-    for n in (8, 256, 768, 769, 1024, 2048):
+    # 2048 complex is chip-proven (COVERAGE.md round-4 entry: c64 2048
+    # full spectrum on the blocked+AED path), not just dispatch-pinned
+    for n in (8, 256, 768, 769, 1024, 2048, 3072):
         for dt in (np.float32, np.complex64):
             eng = qr_dispatch(n, dt, backend="tpu")
             assert eng in ("pallas_vmem", "pallas_blocked")

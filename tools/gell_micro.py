@@ -48,6 +48,28 @@ def ablated_kernel(seg_ref, val_ref, inv_ref, xt_ref, out_ref, *,
     elif mode == "onechunk":
         s_lo = seg & (LANES - 1)
         t = jnp.take_along_axis(xt_ref[0], s_lo, axis=1)
+    elif mode == "mxu_gather":
+        # VERDICT r3 task 6 probe: one-hot-contraction gather — trade the
+        # VPU mask/select budget for MXU matmuls. Per chunk, build the
+        # per-lane (s, k) selection matrix and contract
+        # t[l, k] = sum_s xt[c][l, s] * onehot[l, s, k] as a 128-batched
+        # (1 x 128) @ (128 x 128) bf16 matmul. The one-hot CONSTRUCTION
+        # is counted (it is unavoidable: precomputing it at pack time
+        # would cost 128x the seg-word HBM bytes).
+        s_lo = seg & (LANES - 1)
+        s_hi = seg >> 7
+        siota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES, LANES),
+                                         1)
+        t = jnp.zeros((LANES, LANES), jnp.float32)
+        for c in range(n_chunks):
+            oh = jnp.logical_and(s_lo[:, None, :] == siota,
+                                 (s_hi == c)[:, None, :]) \
+                .astype(jnp.bfloat16)
+            tc = jax.lax.dot_general(
+                xt_ref[c].astype(jnp.bfloat16)[:, None, :], oh,
+                ((((2,), (1,))), (((0,), (0,)))),
+                preferred_element_type=jnp.float32)
+            t = t + tc[:, 0, :]
     else:
         t = G._gather_chunks(seg, xt_ref, n_chunks)
     p = val_ref[0].astype(jnp.float32) * t
@@ -95,7 +117,8 @@ def main():
         pack, nnz = make_pack(n)
         print(f"n={n} tiles={pack.seg_packed.shape[0]} chunks={pack.n_chunks} "
               f"ng={pack.ng} scan={pack.scan_steps} nnz={nnz}", file=sys.stderr)
-        for mode in ("full", "noscan", "noinvert", "onechunk", "nogather"):
+        for mode in ("full", "noscan", "noinvert", "onechunk", "nogather",
+                     "mxu_gather"):
             dt = marginal(run_mode(pack, n, mode))
             per_tile = dt / pack.seg_packed.shape[0]
             print(f"  {mode:10s} {nnz/dt/1e9:8.2f} Gnnz/s   {per_tile*1e9:7.0f} ns/tile",
