@@ -473,12 +473,14 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q",
-                                             "nb", "slab_r"))
+                                             "nb", "slab_r",
+                                             "phase_split"))
 def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
                               interpret: bool = False,
                               accumulate_q: bool = False,
                               nb: int | None = None,
-                              slab_r: int | None = None):
+                              slab_r: int | None = None,
+                              phase_split: bool | None = None):
     """Blocked Hessenberg reduction of split planes, HBM-resident.
 
     ``planes``: (n_planes, m, m) f32 (1 = real, 2 = re/im), live region
@@ -498,6 +500,24 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         slab_r = 64 if n_planes == 1 else 32
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
+    if phase_split is None:
+        # the monolithic kernel's HIGHEST-precision operand splits crash
+        # the remote compiler beyond these sizes (round-4 diagnosis)
+        phase_split = (n_planes == 2 and np_ > 1024) or \
+            (n_planes == 1 and np_ > 2048)
+        if phase_split:
+            nb = min(nb, 32)   # halves the per-instance split footprint
+    if phase_split:
+        q0 = None
+        if accumulate_q:
+            q0 = jnp.zeros((n_planes, np_, np_), jnp.float32)
+            q0 = q0.at[0].set(jnp.eye(np_, dtype=jnp.float32))
+        h, q = _phase_split_reduce(
+            p, n, n_planes=n_planes, np_=np_, nb=nb, slab_r=slab_r,
+            accumulate_q=accumulate_q, interpret=interpret, q0=q0)
+        if accumulate_q:
+            return h[:, :m, :m], q[:, :m, :m]
+        return h[:, :m, :m]
     scratch = [
         pltpu.VMEM((n_planes, np_, LANES), jnp.float32),   # pan
         pltpu.VMEM((n_planes, np_, nb), jnp.float32),      # V
@@ -544,3 +564,436 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         interpret=interpret,
     )(jnp.asarray(n, jnp.int32).reshape(1), p)
     return out[:, :m, :m]
+
+
+# ---------------------------------------------------------------------------
+# Phase-split variant: one panel per kernel pair, for sizes where the
+# monolithic kernel's HIGHEST-precision matmul operand splits exceed the
+# remote compiler's scoped-VMEM budget (diagnosed round 4: complex
+# np_ >= 1152 and real np_ >= 3072 crash the tpu_compile_helper at
+# HIGHEST precision but compile instantly at DEFAULT — the per-instance
+# hi/lo bf16 splits are the driver, so halving the instances per program
+# by splitting the panel-reflector and trailing-update phases into
+# separate pallas_calls restores compilation with identical numerics).
+# ---------------------------------------------------------------------------
+
+def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, sems, *,
+                        n_planes: int, np_: int, nb: int, slab_r: int):
+    """Phase A of one panel: build reflectors V, compact-WY T, and
+    Z = A0 V (streamed matvec). Reads h only; writes the VMEM outputs."""
+    k0 = scal_ref[0]
+    n = scal_ref[1]
+    two = n_planes == 2
+    n_slabs = np_ // slab_r
+    base = (k0 // LANES) * LANES
+    half = k0 - base
+    lane_np = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    lane_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    for p in range(n_planes):
+        V[p] = jnp.zeros((np_, nb), jnp.float32)
+        Z[p] = jnp.zeros((np_, nb), jnp.float32)
+        T[p] = jnp.zeros((nb, nb), jnp.float32)
+
+    def slab_in(buf_slot, si):
+        hbm = h_hbm.at[:, pl.ds(si * slab_r, slab_r), :]
+        return pltpu.make_async_copy(hbm, slab.at[buf_slot],
+                                     sems.at[buf_slot])
+
+    @pl.when(k0 < jnp.maximum(n - 2, 0))
+    def _():
+        pdma = pltpu.make_async_copy(
+            h_hbm.at[:, :, pl.ds(pl.multiple_of(base, LANES), LANES)],
+            pan, sems.at[2])
+        pdma.start()
+        pdma.wait()
+
+        def col_body(j, _c):
+            k = k0 + j
+            e_pan = ((jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                      == half + j)).astype(jnp.float32)
+            e_nb = (lane_nb == j).astype(jnp.float32)
+            cr = _rT(e_pan, pan[0])
+            ci = _rT(e_pan, pan[1]) if two else None
+            e_k = (lane_np == k).astype(jnp.float32)
+            if two:
+                TcatR = jnp.concatenate([T[0], T[1]], axis=0)
+                TcatC = jnp.concatenate([T[0], T[1]], axis=1)
+                VcatC = jnp.concatenate([V[0], V[1]], axis=1)
+                VcatR = jnp.concatenate([V[0], V[1]], axis=0)
+                ZcatR = jnp.concatenate([Z[0], Z[1]], axis=0)
+                vv = _rM(e_k, VcatC)
+                ar, ai = vv[:, 0:nb], -vv[:, nb:]
+                # pairs sharing a big operand run as ONE stacked-lhs
+                # instance so the operand's hi/lo bf16 split is paid
+                # once (the remote compiler keeps per-instance splits
+                # live for the whole program — round-4 diagnosis)
+                p_a = _rT(jnp.concatenate([ar, ai], axis=0), TcatR)
+                p_ar, p_ai = p_a[0:1], p_a[1:2]
+                t1r = p_ar[:, 0:nb] - p_ai[:, nb:]
+                t1i = p_ar[:, nb:] + p_ai[:, 0:nb]
+                q_ = _rT(jnp.concatenate([t1r, t1i], axis=0), ZcatR)
+                q_r, q_i = q_[0:1], q_[1:2]
+                cr = cr - (q_r[:, 0:np_] - q_i[:, np_:])
+                ci = ci - (q_r[:, np_:] + q_i[:, 0:np_])
+                u_ = _rM(jnp.concatenate([cr, ci], axis=0), VcatC)
+                u_r, u_i = u_[0:1], u_[1:2]
+                ur = u_r[:, 0:nb] + u_i[:, nb:]
+                ui = u_i[:, 0:nb] - u_r[:, nb:]
+                w_ = _rM(jnp.concatenate([ur, ui], axis=0), TcatC)
+                w_r, w_i = w_[0:1], w_[1:2]
+                t2r = w_r[:, 0:nb] + w_i[:, nb:]
+                t2i = w_i[:, 0:nb] - w_r[:, nb:]
+                s_ = _rT(jnp.concatenate([t2r, t2i], axis=0), VcatR)
+                s_r, s_i = s_[0:1], s_[1:2]
+                cr = cr - (s_r[:, 0:np_] - s_i[:, np_:])
+                ci = ci - (s_r[:, np_:] + s_i[:, 0:np_])
+            else:
+                vrow_r = _rM(e_k, V[0])
+                t1 = _rT(vrow_r, T[0])
+                cr = cr - _rT(t1, Z[0])
+                u = _rM(cr, V[0])
+                cr = cr - _rT(_rM(u, T[0]), V[0])
+
+            mask_tail = (lane_np >= k + 1).astype(jnp.float32)
+            xr = cr * mask_tail
+            xi = ci * mask_tail if two else None
+            nrm2 = jnp.sum(xr * xr) + (jnp.sum(xi * xi) if two else 0.0)
+            norm_x = jnp.sqrt(nrm2)
+            mask_t2 = (lane_np >= k + 2).astype(jnp.float32)
+            tail2 = jnp.sum(cr * cr * mask_t2) + (
+                jnp.sum(ci * ci * mask_t2) if two else 0.0)
+            tail_zero = tail2 == 0.0
+            e_k1 = (lane_np == k + 1).astype(jnp.float32)
+            x0r = jnp.sum(cr * e_k1)
+            x0i = jnp.sum(ci * e_k1) if two else zero
+            m0 = jnp.sqrt(x0r * x0r + x0i * x0i)
+            has0 = m0 > 0.0
+            m0s = jnp.where(has0, m0, one)
+            sgr = jnp.where(has0, x0r / m0s, one)
+            sgi = jnp.where(has0, x0i / m0s, zero)
+            vr = xr + sgr * norm_x * e_k1
+            vi = (xi + sgi * norm_x * e_k1) if two else None
+            vn2 = jnp.sum(vr * vr) + (jnp.sum(vi * vi) if two else 0.0)
+            degenerate = vn2 == 0.0
+            vinv = jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+            tau = jnp.where(jnp.logical_or(tail_zero, degenerate),
+                            zero, 2.0 * one)
+            vr = vr * vinv * jnp.where(tau > 0, one, zero)
+            if two:
+                vi = vi * vinv * jnp.where(tau > 0, one, zero)
+
+            if two:
+                VcatC2 = jnp.concatenate([V[0], V[1]], axis=1)
+                TcatR2 = jnp.concatenate([T[0], T[1]], axis=0)
+                m_ = _rM(jnp.concatenate([vr, vi], axis=0), VcatC2)
+                m_r, m_i = m_[0:1], m_[1:2]
+                sr_ = m_r[:, 0:nb] + m_i[:, nb:]
+                si_ = m_i[:, 0:nb] - m_r[:, nb:]
+                n_ = _rT(jnp.concatenate([sr_, si_], axis=0), TcatR2)
+                n_r, n_i = n_[0:1], n_[1:2]
+                tcr = -tau * (n_r[:, 0:nb] - n_i[:, nb:])
+                tci = -tau * (n_r[:, nb:] + n_i[:, 0:nb])
+            else:
+                sr_ = _rM(vr, V[0])
+                tcr = -tau * _rT(sr_, T[0])
+            below_j = (lane_nb < j).astype(jnp.float32)
+            diag_j = tau * e_nb
+            T[0] = T[0] + _outer(tcr * below_j + diag_j, e_nb)
+            if two:
+                T[1] = T[1] + _outer(tci * below_j, e_nb)
+            V[0] = V[0] + _outer(vr, e_nb)
+            if two:
+                V[1] = V[1] + _outer(vi, e_nb)
+
+            slab_in(0, 0).start()
+
+            def mv_slab(si, acc):
+                cur = si % 2
+
+                @pl.when(si + 1 < n_slabs)
+                def _():
+                    slab_in((si + 1) % 2, si + 1).start()
+                slab_in(cur, si).wait()
+                rows = pl.ds(si * slab_r, slab_r)
+                keep = (1.0 - e_nb)
+                if two:
+                    v2 = jnp.concatenate([vr, vi], axis=0)
+                    p0 = _dot_nt(slab[cur, 0], v2)
+                    p1 = _dot_nt(slab[cur, 1], v2)
+                    zr_s = p0[:, 0:1] - p1[:, 1:2]
+                    zi_s = p0[:, 1:2] + p1[:, 0:1]
+                    Z[0, rows] = Z[0, rows] * keep + _dot(zr_s, e_nb)
+                    Z[1, rows] = Z[1, rows] * keep + _dot(zi_s, e_nb)
+                else:
+                    z_s = _dot_nt(slab[cur, 0], vr)
+                    Z[0, rows] = Z[0, rows] * keep + _dot(z_s, e_nb)
+                return acc
+
+            jax.lax.fori_loop(0, n_slabs, mv_slab, 0)
+            return _c
+
+        nb_live = jnp.clip(n - 2 - k0, 0, nb)
+        jax.lax.fori_loop(0, nb_live, col_body, 0)
+
+
+def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
+                        *, n_planes: int, np_: int, nb: int, slab_r: int):
+    """Phase B of one panel: the blocked trailing update
+    A := (I - V T^H V^H)(A - (Z T) V^H) streamed over row slabs."""
+    k0 = scal_ref[0]
+    n = scal_ref[1]
+    two = n_planes == 2
+    n_slabs = np_ // slab_r
+    del h_in  # aliased with h_ref
+
+    def slab_dma(buf_slot, si, direction):
+        hbm = h_ref.at[:, pl.ds(si * slab_r, slab_r), :]
+        if direction == "in":
+            return pltpu.make_async_copy(hbm, slab.at[buf_slot],
+                                         sems.at[buf_slot])
+        return pltpu.make_async_copy(slab.at[buf_slot], hbm,
+                                     sems.at[buf_slot])
+
+    @pl.when(k0 < jnp.maximum(n - 2, 0))
+    def _():
+        for p in range(n_planes):
+            W[p] = jnp.zeros((nb, np_), jnp.float32)
+        slab_dma(0, 0, "in").start()
+
+        def p_slab(si, acc):
+            cur = si % 2
+
+            @pl.when(si + 1 < n_slabs)
+            def _():
+                slab_dma((si + 1) % 2, si + 1, "in").start()
+            slab_dma(cur, si, "in").wait()
+            rows = pl.ds(si * slab_r, slab_r)
+            if two:
+                vs2 = jnp.concatenate([V[0, rows], V[1, rows]], axis=1)
+                p0 = _dotT(vs2, slab[cur, 0])
+                p1 = _dotT(vs2, slab[cur, 1])
+                W[0] = W[0] + p0[0:nb] + p1[nb:]
+                W[1] = W[1] + p1[0:nb] - p0[nb:]
+            else:
+                W[0] = W[0] + _dotT(V[0, rows], slab[cur, 0])
+            return acc
+
+        jax.lax.fori_loop(0, n_slabs, p_slab, 0)
+
+        # Y = Z T ; G2 = T^H (V^H Y) ; W = T^H P - G2 V^H
+        if two:
+            Tc = jnp.concatenate([T[0], T[1]], axis=1)
+            Vc = jnp.concatenate([V[0], V[1]], axis=1)
+            # Z rows stacked: ONE instance shares Tc's split
+            yc = _dot(jnp.concatenate([Z[0], Z[1]], axis=0), Tc)
+            y0, y1 = yc[0:np_], yc[np_:]
+            Y[0] = y0[:, 0:nb] - y1[:, nb:]
+            Y[1] = y0[:, nb:] + y1[:, 0:nb]
+            gc = _dotT(Vc, jnp.concatenate([Y[0], Y[1]], axis=1))
+            g0, g1 = gc[:, 0:nb], gc[:, nb:]
+            vyr = g0[0:nb] + g1[nb:]
+            vyi = g1[0:nb] - g0[nb:]
+            hc = _dotT(Tc, jnp.concatenate([vyr, vyi], axis=1))
+            h0, h1 = hc[:, 0:nb], hc[:, nb:]
+            g2r = h0[0:nb] + h1[nb:]
+            g2i = h1[0:nb] - h0[nb:]
+            pwc = _dotT(Tc, jnp.concatenate([W[0], W[1]], axis=1))
+            pw0, pw1 = pwc[:, 0:np_], pwc[:, np_:]
+            pr = pw0[0:nb] + pw1[nb:]
+            pi_ = pw1[0:nb] - pw0[nb:]
+            wuc = _dot_nt(jnp.concatenate(
+                [jnp.concatenate([g2r, g2i], axis=1),
+                 jnp.concatenate([g2i, -g2r], axis=1)], axis=0), Vc)
+            W[0] = pr - wuc[0:nb]
+            W[1] = pi_ - wuc[nb:]
+        else:
+            Y[0] = _dot(Z[0], T[0])
+            g2 = _dot(T[0].T, _dotT(V[0], Y[0]))
+            W[0] = _dotT(T[0], W[0]) - _dot_nt(g2, V[0])
+
+        slab_dma(0, 0, "in").start()
+        row_in_slab = jax.lax.broadcasted_iota(jnp.int32, (slab_r, np_), 0)
+        col_in_slab = jax.lax.broadcasted_iota(jnp.int32, (slab_r, np_), 1)
+
+        def upd_slab(si, acc):
+            cur = si % 2
+
+            @pl.when(si + 1 < n_slabs)
+            def _():
+                slab_dma((si + 1) % 2, si + 1, "in").start()
+            slab_dma(cur, si, "in").wait()
+            rows = pl.ds(si * slab_r, slab_r)
+            if two:
+                vcu = jnp.concatenate([V[0], V[1]], axis=1)
+                ac = _dot_nt(jnp.concatenate(
+                    [jnp.concatenate([Y[0, rows], Y[1, rows]], axis=1),
+                     jnp.concatenate([Y[1, rows], -Y[0, rows]], axis=1)],
+                    axis=0), vcu)
+                ar, ai = ac[0:slab_r], ac[slab_r:]
+                vr2 = jnp.concatenate([V[0, rows], V[1, rows]], axis=1)
+                bc = _dot(vr2, jnp.concatenate(
+                    [jnp.concatenate([W[0], -W[1]], axis=0),
+                     jnp.concatenate([W[1], W[0]], axis=0)], axis=1))
+                br, bi = bc[:, 0:np_], bc[:, np_:]
+                slab[cur, 0] = slab[cur, 0] - ar - br
+                slab[cur, 1] = slab[cur, 1] - ai - bi
+            else:
+                slab[cur, 0] = slab[cur, 0] - _dot_nt(Y[0, rows], V[0]) \
+                    - _dot(V[0, rows], W[0])
+            grow = si * slab_r + row_in_slab
+            in_panel = jnp.logical_and(
+                col_in_slab >= k0,
+                col_in_slab < jnp.minimum(k0 + nb, n - 2))
+            keep_z = jnp.logical_not(jnp.logical_and(
+                in_panel, grow >= col_in_slab + 2)).astype(jnp.float32)
+            slab[cur, 0] = slab[cur, 0] * keep_z
+            if two:
+                slab[cur, 1] = slab[cur, 1] * keep_z
+            wb = slab_dma(cur, si, "out")
+            wb.start()
+            wb.wait()
+            return acc
+
+        jax.lax.fori_loop(0, n_slabs, upd_slab, 0)
+
+
+def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
+                        n_planes: int, np_: int, nb: int, slab_r: int):
+    """Phase C (accumulate_q): Q := Q - (Q V) T V^H streamed."""
+    k0 = scal_ref[0]
+    n = scal_ref[1]
+    two = n_planes == 2
+    n_slabs = np_ // slab_r
+    del q_in
+
+    def slab_dma(buf_slot, si, direction):
+        hbm = q_ref.at[:, pl.ds(si * slab_r, slab_r), :]
+        if direction == "in":
+            return pltpu.make_async_copy(hbm, slab.at[buf_slot],
+                                         sems.at[buf_slot])
+        return pltpu.make_async_copy(slab.at[buf_slot], hbm,
+                                     sems.at[buf_slot])
+
+    @pl.when(k0 < jnp.maximum(n - 2, 0))
+    def _():
+        for p in range(n_planes):
+            qv[p] = jnp.zeros((np_, nb), jnp.float32)
+        slab_dma(0, 0, "in").start()
+
+        def qv_slab(si, acc):
+            cur = si % 2
+
+            @pl.when(si + 1 < n_slabs)
+            def _():
+                slab_dma((si + 1) % 2, si + 1, "in").start()
+            slab_dma(cur, si, "in").wait()
+            rows = pl.ds(si * slab_r, slab_r)
+            if two:
+                qv[0, rows] = _dot(slab[cur, 0], V[0]) \
+                    - _dot(slab[cur, 1], V[1])
+                qv[1, rows] = _dot(slab[cur, 0], V[1]) \
+                    + _dot(slab[cur, 1], V[0])
+            else:
+                qv[0, rows] = _dot(slab[cur, 0], V[0])
+            return acc
+
+        jax.lax.fori_loop(0, n_slabs, qv_slab, 0)
+        if two:
+            mr = _dot(qv[0], T[0]) - _dot(qv[1], T[1])
+            mi = _dot(qv[0], T[1]) + _dot(qv[1], T[0])
+            qv[0] = mr
+            qv[1] = mi
+        else:
+            qv[0] = _dot(qv[0], T[0])
+        slab_dma(0, 0, "in").start()
+
+        def qupd_slab(si, acc):
+            cur = si % 2
+
+            @pl.when(si + 1 < n_slabs)
+            def _():
+                slab_dma((si + 1) % 2, si + 1, "in").start()
+            slab_dma(cur, si, "in").wait()
+            rows = pl.ds(si * slab_r, slab_r)
+            if two:
+                ar = _dot_nt(qv[0, rows], V[0]) + _dot_nt(qv[1, rows], V[1])
+                ai = _dot_nt(qv[1, rows], V[0]) - _dot_nt(qv[0, rows], V[1])
+                slab[cur, 0] = slab[cur, 0] - ar
+                slab[cur, 1] = slab[cur, 1] - ai
+            else:
+                slab[cur, 0] = slab[cur, 0] - _dot_nt(qv[0, rows], V[0])
+            wb = slab_dma(cur, si, "out")
+            wb.start()
+            wb.wait()
+            return acc
+
+        jax.lax.fori_loop(0, n_slabs, qupd_slab, 0)
+
+
+def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
+                        np_: int, nb: int, slab_r: int,
+                        accumulate_q: bool, interpret: bool,
+                        q0: jax.Array | None = None):
+    """fori over panels, two (three with Q) pallas_calls per panel."""
+    n_panels = np_ // nb
+    sc_vec = [pltpu.SemaphoreType.DMA((3,))]
+    shapes_vzt = (jax.ShapeDtypeStruct((n_planes, np_, nb), jnp.float32),
+                  jax.ShapeDtypeStruct((n_planes, np_, nb), jnp.float32),
+                  jax.ShapeDtypeStruct((n_planes, nb, nb), jnp.float32))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def body(pi, carry):
+        h, q = carry
+        scal = jnp.stack([(pi * nb).astype(jnp.int32),
+                          jnp.asarray(n, jnp.int32)])
+        V, Z, T = pl.pallas_call(
+            functools.partial(_hess_panelA_kernel, n_planes=n_planes,
+                              np_=np_, nb=nb, slab_r=slab_r),
+            out_shape=shapes_vzt,
+            in_specs=[smem, hbm],
+            out_specs=(vmem, vmem, vmem),
+            scratch_shapes=[
+                pltpu.VMEM((n_planes, np_, LANES), jnp.float32),  # pan
+                pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),
+            ] + sc_vec,
+            interpret=interpret,
+        )(scal, h)
+        h = pl.pallas_call(
+            functools.partial(_hess_panelB_kernel, n_planes=n_planes,
+                              np_=np_, nb=nb, slab_r=slab_r),
+            out_shape=jax.ShapeDtypeStruct(h.shape, jnp.float32),
+            in_specs=[smem, vmem, vmem, vmem, hbm],
+            out_specs=hbm,
+            input_output_aliases={4: 0},
+            scratch_shapes=[
+                pltpu.VMEM((n_planes, nb, np_), jnp.float32),   # W
+                pltpu.VMEM((n_planes, np_, nb), jnp.float32),   # Y
+                pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),
+            ] + sc_vec,
+            interpret=interpret,
+        )(scal, V, Z, T, h)
+        if accumulate_q:
+            q = pl.pallas_call(
+                functools.partial(_hess_panelC_kernel, n_planes=n_planes,
+                                  np_=np_, nb=nb, slab_r=slab_r),
+                out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
+                in_specs=[smem, vmem, vmem, hbm],
+                out_specs=hbm,
+                input_output_aliases={3: 0},
+                scratch_shapes=[
+                    pltpu.VMEM((n_planes, np_, nb), jnp.float32),  # qv
+                    pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),
+                ] + sc_vec,
+                interpret=interpret,
+            )(scal, V, T, q)
+        return (h, q)
+
+    if q0 is None:
+        q0 = jnp.zeros((1, 1, 1), jnp.float32)   # unused carry slot
+    h, q = jax.lax.fori_loop(0, n_panels, body, (p, q0))
+    return h, q

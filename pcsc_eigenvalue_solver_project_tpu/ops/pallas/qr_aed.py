@@ -248,6 +248,90 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
     return eig[:, 0, :m], total, hi
 
 
+# The 2-plane blocked Hessenberg crashes the remote AOT compile helper
+# for np_ >= 1152 at ANY block size, slab size, or phase split (round-4
+# diagnosis: a plane-count-specific compiler fault — DEFAULT-precision
+# builds compile instantly and the 1-plane kernel runs to >= 4096 after
+# the phase-split + shared-operand fusion fix, so it is neither VMEM nor
+# instance count alone). Complex inputs beyond this cap run the REAL
+# 2n x 2n embedding below.
+_COMPLEX_BLOCKED_MAX_N = 1024
+
+
+def _conj_pair_reps(ev: np.ndarray) -> np.ndarray:
+    """Greedily match the 2n embedded eigenvalues into conjugate pairs;
+    return the n canonical (+imag) representatives."""
+    order = np.lexsort((ev.imag, ev.real))
+    ev = ev[order]
+    used = np.zeros(len(ev), bool)
+    reps = []
+    for i in range(len(ev)):
+        if used[i]:
+            continue
+        used[i] = True
+        rest = np.flatnonzero(~used)
+        if len(rest) == 0:
+            reps.append(ev[i])
+            break
+        j = rest[np.argmin(np.abs(ev[rest] - np.conj(ev[i])))]
+        used[j] = True
+        reps.append(ev[i] if ev[i].imag >= ev[j].imag else ev[j])
+    return np.asarray(reps)
+
+
+def _complex_via_real_embedding(planes, n, max_sweeps, tol, *, w,
+                                sweeps_per_round, log,
+                                interpret: bool = False):
+    """On-chip eigenvalues of a complex matrix beyond the 2-plane kernel
+    cap: solve the real embedding R = [[Re, -Im], [Im, Re]] (spectrum
+    {lam} U {conj lam}) at 2n on the (working) 1-plane blocked path.
+
+    The embedded spectrum determines each eigenvalue only up to
+    conjugation, and that ambiguity is NOT resolvable from one run when
+    A itself contains conjugate pairs. A second run on e^{i theta} A
+    (a plane rotation; its embedding is equally real) breaks the
+    symmetry: for each canonical pair representative c, exactly one of
+    {e^{i theta} c, e^{i theta} conj(c)} appears in the rotated
+    spectrum, identifying lam = c or conj(c)."""
+    theta = 0.7321
+    ct, st = np.cos(theta), np.sin(theta)
+
+    def solve_planes(pr, pi):
+        emb = jnp.concatenate([
+            jnp.concatenate([pr, -pi], axis=1),
+            jnp.concatenate([pi, pr], axis=1)], axis=0)[None]
+        from .hessenberg_blocked import hessenberg_blocked_planes
+        h = hessenberg_blocked_planes(emb, 2 * n, interpret=interpret)
+        h = jnp.concatenate([h, jnp.zeros_like(h)])
+        eig, sweeps, hi = qr_eig_blocked_aed_planes(
+            h, 2 * n, 2 * max_sweeps, tol, w=w,
+            sweeps_per_round=sweeps_per_round, log=log,
+            interpret=interpret)
+        e = np.asarray(jax.device_get(eig))
+        return ((e[0] + 1j * e[1])[:2 * n].astype(np.complex64),
+                int(sweeps), int(hi) <= 1)
+
+    ev0, sweeps0, conv0 = solve_planes(planes[0], planes[1])
+    ev1, sweeps1, conv1 = solve_planes(ct * planes[0] - st * planes[1],
+                                       st * planes[0] + ct * planes[1])
+    reps = _conj_pair_reps(ev0)
+    rot = np.sort_complex(_conj_pair_reps(ev1))
+    rot_re = rot  # sorted canonical reps of the rotated spectrum
+    phase = np.exp(1j * theta)
+
+    def canon(z):
+        return z if z.imag >= 0 else np.conj(z)
+
+    out = np.empty(n, np.complex64)
+    for i, c in enumerate(reps):
+        t1 = canon(phase * c)
+        t2 = canon(phase * np.conj(c))
+        d1 = np.abs(rot_re - t1).min()
+        d2 = np.abs(rot_re - t2).min()
+        out[i] = c if d1 <= d2 else np.conj(c)
+    return out, sweeps0 + sweeps1, bool(conv0 and conv1)
+
+
 def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,
                                       w: int = 256,
                                       sweeps_per_round: int = 96,
@@ -261,6 +345,12 @@ def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,
     from .qr_kernels import split_planes_f32
     n = a.shape[0]
     planes = split_planes_f32(a)
+    if planes.shape[0] == 2 and n > _COMPLEX_BLOCKED_MAX_N \
+            and not interpret:
+        return _complex_via_real_embedding(
+            planes, n, max_sweeps, tol, w=w,
+            sweeps_per_round=sweeps_per_round, log=log,
+            interpret=interpret)
     h = hessenberg_blocked_planes(planes, n, interpret=interpret)
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])

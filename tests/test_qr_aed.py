@@ -95,3 +95,30 @@ def test_aed_planes_entry_matches_reference_spectrum():
     e = np.asarray(eig)
     got = np.sort(e[0])
     assert np.abs(got - np.sort(d)).max() < 5e-4
+
+
+def test_complex_via_real_embedding():
+    """Complex inputs beyond the 2-plane blocked kernel's compile cap run
+    the real 2n embedding with two-run conjugation disambiguation
+    (round-4: the remote AOT helper crashes on 2-plane kernels at
+    np_ >= 1152; the 1-plane path runs to >= 4096 after the phase-split
+    fix). The test matrix deliberately contains near-conjugate pairs —
+    the case a single embedded solve cannot disambiguate."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+        _complex_via_real_embedding)
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_kernels import (
+        split_planes_f32)
+    rng = np.random.default_rng(0)
+    n = 80
+    a = (rng.standard_normal((n, n)) / np.sqrt(n)
+         + 0.3j * rng.standard_normal((n, n)) / np.sqrt(n)) \
+        .astype(np.complex64)
+    planes = split_planes_f32(a)
+    eigs, sweeps, conv = _complex_via_real_embedding(
+        planes, n, 40 * n, 3e-6, w=64, sweeps_per_round=8, log=None,
+        interpret=True)
+    assert conv
+    ref = np.linalg.eigvals(a.astype(np.complex128))
+    assert _nn_eig_err(ref, eigs) < 1e-3
+    # the conjugation choice must be resolved: total imag mass matches
+    assert abs(np.sort(eigs.imag) - np.sort(ref.imag)).max() < 1e-3

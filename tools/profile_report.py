@@ -1,4 +1,5 @@
-"""Real-chip profile artifact (VERDICT r2 task 8).
+"""Real-chip profile artifact (VERDICT r2 task 8; r3 task 9 adds the
+blocked-QR sweep leg with a bytes/duty breakdown and AED economics).
 
 Produces PROFILE_r03.json with, for the two flagship kernels:
 - marginal step time on the real chip (scalar-readback marginal timing —
@@ -113,6 +114,96 @@ def gell_leg():
     }
 
 
+def blocked_qr_leg():
+    """One blocked Wilkinson sweep at n=2048: marginal wall, exact DMA
+    byte model, HBM duty, and the AED round economics (VERDICT r3
+    task 9). The byte model mirrors qr_eig_blocked._qr_blocked_kernel:
+    per 120-rotation block, window in+out, left slab chunks over cols
+    [b128+256, hi), right row chunks over rows [0, b8+136), and the
+    cache-refresh window re-read."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        import hessenberg_blocked_planes
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
+        import _BS, _RC, _SC, _WC, _WR, pad_for_blocked, qr_eig_blocked_step
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+        _aed_round, qr_eig_blocked_aed_planes)
+
+    n = 2048
+    rng = np.random.default_rng(0)
+    d = np.sort(rng.uniform(1.0, 2.0, n))[::-1]
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    tol = jnp.asarray(3e-6, jnp.float32)
+    h = hessenberg_blocked_planes(jnp.asarray(a[None]), n)
+    h = jnp.concatenate([h, jnp.zeros_like(h)])
+    p0, np_ = pad_for_blocked(h)
+    p0 = jax.device_get(p0)  # host master copy (steps donate their input)
+    nv = jnp.asarray(n, jnp.int32)
+
+    def run(budget):
+        p = jnp.asarray(p0)
+        t0 = time.perf_counter()
+        p, eig, sw, hi = qr_eig_blocked_step(
+            p, nv, jnp.asarray(budget, jnp.int32), tol)
+        sw = int(sw)
+        return time.perf_counter() - t0, sw
+
+    run(4)  # compile + warm
+    t_lo, _ = min(run(4) for _ in range(3))
+    t_hi, _ = min(run(24) for _ in range(3))
+    per_sweep = (t_hi - t_lo) / 20
+
+    # exact byte model for one sweep at hi = n (2 planes, f32, rw)
+    hi = n
+    nblk = (hi - 1 + _BS - 1) // _BS
+    by = 0
+    for bi in range(nblk):
+        b8 = bi * _BS
+        b128 = (b8 // 128) * 128
+        by += 2 * 2 * _WR * _WC * 4 * 2          # window in+out (left)
+        nch = max(hi - (b128 + _WC) + _SC - 1, 0) // _SC
+        by += 2 * 2 * _WR * (nch * _SC) * 4 * 2  # left slabs rw
+        nrc = (b8 + _WR + _RC - 1) // _RC
+        by += 2 * 2 * (nrc * _RC) * _WC * 4 * 2  # right chunks rw
+        by += 2 * _WR * _WC * 4                  # cache-refresh re-read
+    duty = by / per_sweep / (HBM_PEAK_GBS * 1e9)
+
+    # AED round cost at full window (w=256) + full-solve economics
+    p = jnp.asarray(p0)
+    p, eig, sw, hi_j = qr_eig_blocked_step(p, nv, jnp.asarray(10, jnp.int32), tol)
+    hi_i = int(hi_j)
+    _aed_round(p, jnp.asarray(hi_i, jnp.int32), tol, w=256)  # compile
+    p = jnp.asarray(p0)
+    p, eig, sw, hi_j = qr_eig_blocked_step(p, nv, jnp.asarray(10, jnp.int32), tol)
+    hi_i = int(hi_j)
+    t0 = time.perf_counter()
+    p2, dd, hi_w = _aed_round(p, jnp.asarray(hi_i, jnp.int32), tol, w=256)[:3]
+    aed_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eigv, sweeps, hi_f = qr_eig_blocked_aed_planes(h, n, 40 * n, 3e-6)
+    aed_solve_wall = time.perf_counter() - t0
+    err = float(np.abs(np.sort(np.asarray(eigv)[0]) - np.sort(d)).max())
+
+    return {
+        "n": n,
+        "per_sweep_s_full_window": per_sweep,
+        "sweep_bytes_model": by,
+        "implied_gbs": by / per_sweep / 1e9,
+        "hbm_duty": duty,
+        "note": ("duty << 1 means the sweep is bound by the sequential "
+                 "rotation generation (VPU) and per-block DMA sync, not "
+                 "HBM traffic — the r3 '65% traffic bound' guess was "
+                 "wrong; see PERF_NOTES round-4 section"),
+        "aed_round_s_w256": aed_wall,
+        "aed_full_solve_s": aed_solve_wall,
+        "aed_full_solve_sweeps": int(sweeps),
+        "aed_converged": bool(int(hi_f) <= 1),
+        "aed_eig_err": err,
+        "r3_plain_blocked_reference": "~11-12 s / ~4.6K sweeps (generic spectrum, docs/PERF_NOTES.md)",
+    }
+
+
 def try_trace():
     """Attempt one jax.profiler device trace around a tiny step."""
     out_dir = "/tmp/jaxtrace_r03"
@@ -140,10 +231,11 @@ def main():
         "hbm_peak_gbs_assumed": HBM_PEAK_GBS,
         "dia_interleaved_power_step_100k": dia_leg(),
         "gell_general_power_step_100k": gell_leg(),
+        "blocked_qr_sweep_2048": blocked_qr_leg(),
         "jax_profiler_trace": try_trace(),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROFILE_r03.json")
+        os.path.abspath(__file__))), "PROFILE_r04.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
