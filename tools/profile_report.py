@@ -137,21 +137,26 @@ def blocked_qr_leg():
     h = hessenberg_blocked_planes(jnp.asarray(a[None]), n)
     h = jnp.concatenate([h, jnp.zeros_like(h)])
     p0, np_ = pad_for_blocked(h)
-    p0 = jax.device_get(p0)  # host master copy (steps donate their input)
+    p0 = p0 + 0.0   # device master copy (steps donate their input, so
+    #                 each run works on an on-device clone — a host
+    #                 round-trip here swamps the marginal timing)
+    p0.block_until_ready()
     nv = jnp.asarray(n, jnp.int32)
 
     def run(budget):
-        p = jnp.asarray(p0)
+        p = p0 + 0.0    # on-device copy
+        int(jnp.sum(p[0, 0, :8]))  # sync the copy out of the timed region
         t0 = time.perf_counter()
         p, eig, sw, hi = qr_eig_blocked_step(
             p, nv, jnp.asarray(budget, jnp.int32), tol)
-        sw = int(sw)
+        sw = int(sw)    # scalar readback = the only honest sync here
         return time.perf_counter() - t0, sw
 
     run(4)  # compile + warm
-    t_lo, _ = min(run(4) for _ in range(3))
-    t_hi, _ = min(run(24) for _ in range(3))
-    per_sweep = (t_hi - t_lo) / 20
+    run(24)
+    t_lo = min(run(4)[0] for _ in range(3))
+    t_hi = min(run(24)[0] for _ in range(3))
+    per_sweep = max((t_hi - t_lo) / 20, 1e-9)
 
     # exact byte model for one sweep at hi = n (2 planes, f32, rw)
     hi = n
@@ -169,17 +174,20 @@ def blocked_qr_leg():
     duty = by / per_sweep / (HBM_PEAK_GBS * 1e9)
 
     # AED round cost at full window (w=256) + full-solve economics
-    p = jnp.asarray(p0)
+    p = p0 + 0.0
     p, eig, sw, hi_j = qr_eig_blocked_step(p, nv, jnp.asarray(10, jnp.int32), tol)
     hi_i = int(hi_j)
-    _aed_round(p, jnp.asarray(hi_i, jnp.int32), tol, w=256)  # compile
-    p = jnp.asarray(p0)
+    out = _aed_round(p, jnp.asarray(hi_i, jnp.int32), tol, w=256)  # compile
+    int(out[1])
+    p = p0 + 0.0
     p, eig, sw, hi_j = qr_eig_blocked_step(p, nv, jnp.asarray(10, jnp.int32), tol)
     hi_i = int(hi_j)
     t0 = time.perf_counter()
     p2, dd, hi_w = _aed_round(p, jnp.asarray(hi_i, jnp.int32), tol, w=256)[:3]
+    int(dd)   # scalar readback sync
     aed_wall = time.perf_counter() - t0
 
+    qr_eig_blocked_aed_planes(h, n, 40 * n, 3e-6)   # warm
     t0 = time.perf_counter()
     eigv, sweeps, hi_f = qr_eig_blocked_aed_planes(h, n, 40 * n, 3e-6)
     aed_solve_wall = time.perf_counter() - t0
