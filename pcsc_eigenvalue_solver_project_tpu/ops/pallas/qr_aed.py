@@ -43,8 +43,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .qr_eig_blocked import (_RC, _SC, _step_pallas, pad_for_blocked,
-                             qr_eig_blocked_step)
+from .qr_eig_blocked import (_RC, _SC, _step_pallas, _step_pallas_q,
+                             pad_for_blocked, pad_q_identity,
+                             qr_eig_blocked_step, qr_eig_blocked_step_q)
 from .qr_kernels import hessenberg_planes, qr_hessenberg_eig_planes
 
 LANES = 128
@@ -69,7 +70,7 @@ def _pmm_h(A, B):
 
 
 def _aed_round_core(p: jax.Array, hi: jax.Array, tol: jax.Array, *, w: int,
-                    interpret: bool = False):
+                    interpret: bool = False, q: jax.Array | None = None):
     """One AED round on padded blocked-layout planes ``p``.
 
     Caller guarantees ``hi >= w + 2`` (so the window start ``s = hi - w``
@@ -144,15 +145,28 @@ def _aed_round_core(p: jax.Array, hi: jax.Array, tol: jax.Array, *, w: int,
     Wnew = Wnew * hmask[None]
     VZ = _pmm(V, Z)
 
-    # 4. one strip writeback: cols [s, s+w) over all rows -> @ VZ, rows
-    # [s, s+w) of it replaced by Wnew; then the spike column
+    # 4. strip writebacks. Schur mode (q given): trailing columns are
+    # LIVE, so the row strip [s, s+w) x [0, C) takes the left transform
+    # (VZ)^H first; eigenvalues-only mode skips it (cols >= hi stale by
+    # contract). Then cols [s, s+w) over all rows take the right @ VZ,
+    # the window block is overwritten with the exactly-Hessenberg
+    # T-based assembly, and the spike column is set to alpha e1.
     R = p.shape[1]
+    if q is not None:
+        C = p.shape[2]
+        rstrip = jax.lax.dynamic_slice(p, (z32, s, z32), (2, w, C))
+        rstrip = _pmm_h(VZ, rstrip)
+        p = jax.lax.dynamic_update_slice(p, rstrip, (z32, s, z32))
     strip = jax.lax.dynamic_slice(p, (z32, z32, s), (2, R, w))
     strip = _pmm(strip, VZ)
     strip = jax.lax.dynamic_update_slice(strip, Wnew, (z32, s, z32))
     p = jax.lax.dynamic_update_slice(p, strip, (z32, z32, s))
     spike = jnp.stack([alpha_r * e1, alpha_i * e1]).reshape(2, w, 1)
     p = jax.lax.dynamic_update_slice(p, spike, (z32, s, s - 1))
+    if q is not None:
+        qstrip = jax.lax.dynamic_slice(q, (z32, z32, s), (2, R, w))
+        qstrip = _pmm(qstrip, VZ)
+        q = jax.lax.dynamic_update_slice(q, qstrip, (z32, z32, s))
 
     # shift schedule: bottom-most undeflated Ritz values, T[kk-1-j, kk-1-j]
     lane = jnp.arange(LANES)
@@ -161,6 +175,8 @@ def _aed_round_core(p: jax.Array, hi: jax.Array, tol: jax.Array, *, w: int,
     valid = (lane < ns).astype(jnp.float32)
     shifts = jnp.stack([jnp.take(tdr, src) * valid,
                         jnp.take(tdi, src) * valid]).reshape(2, 1, LANES)
+    if q is not None:
+        return p, q, d, hi_w, shifts, ns
     return p, d, hi_w, shifts, ns
 
 
@@ -170,6 +186,20 @@ def _aed_round(p: jax.Array, hi: jax.Array, tol: jax.Array, *, w: int,
                interpret: bool = False):
     """Standalone jitted AED round (no sweeps) — see _aed_round_core."""
     return _aed_round_core(p, hi, tol, w=w, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"),
+                   donate_argnums=(0, 1))
+def _aed_sweep_round_q(p: jax.Array, q: jax.Array, hi: jax.Array,
+                       n: jax.Array, budget: jax.Array, tol: jax.Array,
+                       *, w: int, interpret: bool = False):
+    """Schur-mode fused round: AED (with left-row-strip + Q updates)
+    then up to ``budget`` Q-accumulating sweeps with shift cycling."""
+    p, q, d, hi_w, shifts, ns = _aed_round_core(p, hi, tol, w=w,
+                                                interpret=interpret, q=q)
+    p, q, eig, sweeps, hi2 = _step_pallas_q(p, q, n, budget, tol, shifts,
+                                            ns, interpret=interpret)
+    return p, q, eig, sweeps, hi2, d, hi_w
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"),
@@ -330,6 +360,55 @@ def _complex_via_real_embedding(planes, n, max_sweeps, tol, *, w,
         d2 = np.abs(rot_re - t2).min()
         out[i] = c if d1 <= d2 else np.conj(c)
     return out, sweeps0 + sweeps1, bool(conv0 and conv1)
+
+
+def qr_eig_blocked_aed_schur_planes(h_planes: jax.Array, n: int,
+                                    max_sweeps: int, tol: float, *,
+                                    w: int = 256,
+                                    sweeps_per_round: int = 96,
+                                    interpret: bool = False, log=None):
+    """Schur-mode AED driver: like ``qr_eig_blocked_aed_planes`` but the
+    sweeps and AED rounds maintain the full Schur factorization
+    (H = Q T Q^H of the INPUT Hessenberg planes). Returns
+    ``(eig, sweeps, hi, t_planes (2, m, m), q_planes (2, m, m))`` —
+    the contract of ``qr_eig_blocked_planes(accumulate_q=True)``."""
+    n_planes, m, _ = h_planes.shape
+    assert n_planes == 2
+    tolv = jnp.asarray(tol, jnp.float32)
+    nv = jnp.asarray(n, jnp.int32)
+    p, np_ = pad_for_blocked(h_planes)
+    q = pad_q_identity(np_)
+    warmup = min(sweeps_per_round, max_sweeps)
+    p, q, eig, sweeps, hi_j = qr_eig_blocked_step_q(
+        p, q, nv, jnp.asarray(warmup, jnp.int32), tolv,
+        interpret=interpret)
+    total = int(sweeps)
+    hi = int(hi_j)
+    while hi > 1 and total < max_sweeps:
+        w_eff = w
+        while w_eff > 64 and hi < w_eff + 2:
+            w_eff //= 2
+        if hi < w_eff + 2:
+            p, q, eig, sweeps, hi_j = qr_eig_blocked_step_q(
+                p, q, nv, jnp.asarray(max_sweeps - total, jnp.int32),
+                tolv, interpret=interpret)
+            total += int(sweeps)
+            hi = int(hi_j)
+            break
+        budget = min(sweeps_per_round, max_sweeps - total)
+        p, q, eig, sweeps, hi_j, d, hi_w = _aed_sweep_round_q(
+            p, q, jnp.asarray(hi, jnp.int32), nv,
+            jnp.asarray(budget, jnp.int32), tolv, w=w_eff,
+            interpret=interpret)
+        total += int(sweeps)
+        new_hi = int(hi_j)
+        if log is not None:
+            log(f"aed-schur(w={w_eff}): hi {hi}->{new_hi} (aed deflated "
+                f"{int(d)}, window hi_w={int(hi_w)}), sweeps={total}")
+        if new_hi == hi and int(sweeps) == 0:
+            break
+        hi = new_hi
+    return (eig[:, 0, :m], total, hi, p[:, :m, :m], q[:, :m, :m])
 
 
 def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,

@@ -531,6 +531,61 @@ def qr_eig_blocked_step(p: jax.Array, n: jax.Array, max_sweeps: jax.Array,
                         interpret=interpret)
 
 
+def _step_pallas_q(p, q, n, max_sweeps, tol, shifts, n_shifts, *,
+                   interpret: bool = False):
+    """Schur-mode step: like ``_step_pallas`` but with Q accumulation
+    and live trailing columns (the kernel's accumulate_q path). Returns
+    ``(p', q', eig, sweeps, hi)``."""
+    np_ = p.shape[1] - _RC
+    scal = jnp.stack([jnp.asarray(n, jnp.int32),
+                      jnp.asarray(max_sweeps, jnp.int32),
+                      jnp.asarray(n_shifts, jnp.int32)])
+    tolv = jnp.asarray(tol, jnp.float32).reshape(1)
+    eig, stat, h_out, q_out = pl.pallas_call(
+        functools.partial(_qr_blocked_kernel, np_=np_, accumulate_q=True),
+        out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32),
+                   jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
+                                        jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        input_output_aliases={3: 2, 4: 3},
+        scratch_shapes=_make_scratch(np_),
+        interpret=interpret,
+    )(scal, tolv, shifts, p, q)
+    return h_out, q_out, eig, stat[0], stat[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0, 1))
+def qr_eig_blocked_step_q(p: jax.Array, q: jax.Array, n: jax.Array,
+                          max_sweeps: jax.Array, tol: jax.Array,
+                          shifts: jax.Array | None = None,
+                          n_shifts: jax.Array | int = 0, *,
+                          interpret: bool = False):
+    """Schur-mode resumable step (Q accumulated, trailing columns live);
+    see ``qr_eig_blocked_step``."""
+    if shifts is None:
+        shifts = jnp.zeros((2, 1, LANES), jnp.float32)
+    return _step_pallas_q(p, q, n, max_sweeps, tol, shifts, n_shifts,
+                          interpret=interpret)
+
+
+def pad_q_identity(np_: int):
+    """The blocked-layout identity Q the Schur-mode kernels start from."""
+    qeye = jnp.zeros((2, np_ + _RC, np_ + _SC), jnp.float32)
+    return qeye.at[0, :np_, :np_].set(jnp.eye(np_, dtype=jnp.float32))
+
+
 def _step_pallas(p, n, max_sweeps, tol, shifts, n_shifts, *,
                  interpret: bool = False):
     """Raw (unjitted) body of ``qr_eig_blocked_step`` — also inlined by
@@ -669,6 +724,14 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])
         qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
+    # The Schur-mode AED driver (qr_aed.qr_eig_blocked_aed_schur_planes)
+    # was measured at 2048 and LOST to the monolithic whole-solve kernel
+    # (6.9 s vs 5.6 s despite 2220-vs-2546 sweeps): Schur-mode sweeps
+    # carry Q updates and full-width slabs, so the AED sweep savings are
+    # smaller, and ~23 per-round dispatch syncs (~30 ms each) plus the
+    # AED strip GEMMs eat the rest. The monolithic path stays the
+    # default; the AED driver remains available for n >> 2048 where the
+    # quadratic sweep savings should eventually dominate.
     eig, sweeps, hi, t_pl, qs = qr_eig_blocked_planes(
         h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))

@@ -122,3 +122,30 @@ def test_complex_via_real_embedding():
     assert _nn_eig_err(ref, eigs) < 1e-3
     # the conjugation choice must be resolved: total imag mass matches
     assert abs(np.sort(eigs.imag) - np.sort(ref.imag)).max() < 1e-3
+
+
+def test_aed_schur_mode_invariant():
+    """Schur-mode AED (qr_eig_blocked_aed_schur_planes): maintains
+    H_in = Q T Q^H through AED rounds (left row strip + Q column strip
+    updates), T triangular, eigenvalues on the diagonal."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+        qr_eig_blocked_aed_schur_planes)
+    rng = np.random.default_rng(4)
+    n = 180
+    a = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    h = hessenberg_blocked_planes(jnp.asarray(a[None]), n, interpret=True)
+    h2 = jnp.concatenate([h, jnp.zeros_like(h)])
+    eig, sweeps, hi, t_pl, qs = qr_eig_blocked_aed_schur_planes(
+        h2, n, 40 * n, 3e-6, w=64, sweeps_per_round=8, interpret=True)
+    assert hi <= 1
+    t = np.asarray(t_pl)
+    q = np.asarray(qs)
+    T = t[0] + 1j * t[1]
+    Q = q[0] + 1j * q[1]
+    H = np.asarray(h)[0]
+    assert np.abs(Q @ T @ Q.conj().T - H).max() < 5e-4
+    assert np.abs(Q.conj().T @ Q - np.eye(n)).max() < 1e-4
+    assert np.abs(np.tril(T, -1)).max() < 1e-4
+    ref = np.linalg.eigvals(a.astype(np.complex128))
+    e = np.asarray(eig)
+    assert _nn_eig_err(ref, (e[0] + 1j * e[1])[:n]) < 5e-4
