@@ -128,9 +128,12 @@ def bench_general(n: int, nnz_per_row: int, verbose: bool,
     rows = np.repeat(np.arange(n), nnz_per_row)
     if pattern == "local":
         # FEM/graph-style column locality: columns within +-8192 of the
-        # row — the class the GELL column-panel pruning accelerates
+        # row (wrapping at the ends — clipping instead piles boundary
+        # entries into a few lane buckets and inflates the spill tail
+        # 50x, an artifact of the generator, not the kernel) — the
+        # class the GELL column-panel pruning accelerates
         off = rng.integers(-8192, 8193, n * nnz_per_row)
-        cols = np.clip(rows + off, 0, n - 1)
+        cols = (rows + off) % n
     else:
         cols = rng.integers(0, n, n * nnz_per_row)
     vals = rng.standard_normal(n * nnz_per_row).astype(np.float32)
