@@ -491,13 +491,22 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     """
     n_planes, m, _ = planes.shape
     np_ = max(_round_up(m, LANES), 2 * LANES)
-    if nb is None:
+    nb_defaulted = nb is None
+    if nb_defaulted:
         nb = 64
     # complex n=2048 overflows the 16 MB scoped-VMEM stack by ~0.8 MB at
     # slab_r=64 (even with the fused plane-pair matmuls); halving the
     # slab window buys ~1.3 MB of declared buffer + slab temporaries
     if slab_r is None:
         slab_r = 64 if n_planes == 1 else 32
+    if np_ % nb != 0:
+        raise ValueError(
+            f"hessenberg_blocked_planes: nb ({nb}) must divide the "
+            f"padded size ({np_}) — the panel loop would truncate")
+    if np_ % slab_r != 0:
+        raise ValueError(
+            f"hessenberg_blocked_planes: slab_r ({slab_r}) must divide "
+            f"the padded size ({np_}) — the slab loop would truncate")
     p = jnp.pad(planes.astype(jnp.float32),
                 ((0, 0), (0, np_ - m), (0, np_ - m)))
     if phase_split is None:
@@ -505,7 +514,7 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         # the remote compiler beyond these sizes (round-4 diagnosis)
         phase_split = (n_planes == 2 and np_ > 1024) or \
             (n_planes == 1 and np_ > 2048)
-        if phase_split:
+        if phase_split and nb_defaulted:
             nb = min(nb, 32)   # halves the per-instance split footprint
     if phase_split:
         q0 = None

@@ -207,6 +207,9 @@ def distributed_krylov_schur_eigenvalues(A, mesh: Mesh, k: int = 6, *,
     n, n_pad = A.n_orig, A.n_padded
     if k < 1:
         raise ValueError("distributed_krylov_schur_eigenvalues: k must be >= 1")
+    if restarts < 1:
+        raise ValueError(
+            "distributed_krylov_schur_eigenvalues: restarts must be >= 1")
     if m is None:
         m = min(max(3 * k + 10, 20), n)
     m = min(m, n)

@@ -217,6 +217,15 @@ def _ks_contract(Hm: np.ndarray, beta: float, k: int, l_target: int,
             Hm, output="complex",
             sort=lambda lam: np.abs(lam) >= thr * (1 - 1e-12))
     l_eff = int(min(max(sdim, 1), steps - 1))
+    if is_real and T[l_eff, l_eff - 1] != 0.0:
+        # The clamp landed inside a real-Schur 2x2 conjugate block (ties
+        # in |lambda| can make scipy select sdim == steps).  Cutting
+        # there would discard the coupling T[l_eff, l_eff-1] and corrupt
+        # the Krylov relation A V_l = V_l S + v b^T, so move the cut to
+        # a block boundary: retreat one column, or — when the block is
+        # the leading 2x2 (l_eff == 1) — grow to include it (2 <=
+        # steps - 1 because steps >= k + 2 >= 3).
+        l_eff = l_eff - 1 if l_eff >= 2 else l_eff + 1
     Q_l = Z[:, :l_eff]
     S_new = T[:l_eff, :l_eff]
     b_new = beta * Z[steps - 1, :l_eff]
@@ -246,6 +255,8 @@ def krylov_schur_eigenvalues(M: AbstractMatrix, k: int = 6, *,
     n = M.shape[0]
     if k < 1:
         raise ValueError("krylov_schur_eigenvalues: k must be >= 1")
+    if restarts < 1:
+        raise ValueError("krylov_schur_eigenvalues: restarts must be >= 1")
     if m is None:
         m = min(max(3 * k + 10, 20), n)
     m = min(m, n)

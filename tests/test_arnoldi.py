@@ -142,3 +142,76 @@ class TestKrylovSchur:
         with pytest.raises(ValueError):
             krylov_schur_eigenvalues(
                 DenseMatrix.from_array(np.eye(8)), k=5, m=6)
+
+
+class TestKSContractBlockBoundary:
+    """Round-4 advisor finding (ADVICE.md): the l_eff clamp in
+    _ks_contract must never cut a real-Schur 2x2 conjugate block."""
+
+    def test_equal_modulus_spectrum_keeps_blocks_whole(self):
+        from pcsc_eigenvalue_solver_project_tpu.solvers.arnoldi import (
+            _ks_contract)
+        # Block-diagonal rotation-like Hm: every eigenvalue has |lam| = 1,
+        # so the sorted-Schur selector takes sdim == steps and the clamp
+        # to steps-1 would previously land mid-block.
+        m = 10
+        Hm = np.zeros((m, m))
+        for b in range(m // 2):
+            c, s = np.cos(0.3 + b), np.sin(0.3 + b)
+            Hm[2 * b:2 * b + 2, 2 * b:2 * b + 2] = [[c, -s], [s, c]]
+        # strict lower-block coupling keeps the equal-modulus spectrum
+        # (block-triangular) but gives every eigenvector support on the
+        # last row, so the residuals are nonzero and the contraction runs
+        rng = np.random.default_rng(3)
+        for b in range(m // 2):
+            Hm[2 * b + 2:, 2 * b:2 * b + 2] = 0.3 * rng.standard_normal(
+                (m - 2 * b - 2, 2))
+        wanted, resid, conv, Q_l, S_new, b_new = _ks_contract(
+            Hm, beta=0.5, k=3, l_target=m - 1, tol=1e-14)
+        assert not conv
+        l_eff = Q_l.shape[1]
+        # the cut must land on a block boundary: S_new quasi-triangular
+        # and the discarded coupling zero
+        assert l_eff % 2 == 0            # rotation blocks are 2x2
+        sub = np.abs(np.diag(S_new, -1))
+        # subdiagonal entries only inside 2x2 blocks (even positions)
+        for i in range(l_eff - 1):
+            if i % 2 == 1:
+                assert sub[i] == 0.0
+        # Krylov relation preserved: S_new = Q^T Hm Q exactly on the
+        # retained subspace
+        err = np.abs(Q_l.T @ Hm @ Q_l - S_new).max()
+        assert err < 1e-12
+
+    def test_leading_block_grows_instead_of_emptying(self):
+        from pcsc_eigenvalue_solver_project_tpu.solvers.arnoldi import (
+            _ks_contract)
+        # force l_target = 1 with a leading 2x2 block: retreat would give
+        # l_eff = 0 (empty restart basis); the fix grows to 2 instead
+        m = 6
+        Hm = np.zeros((m, m))
+        c, s = np.cos(0.4), np.sin(0.4)
+        Hm[0:2, 0:2] = [[c, -s], [s, c]]
+        Hm[2:, 2:] = np.diag([0.1, 0.05, 0.02, 0.01])
+        # lower coupling: block-triangular (same spectrum), nonzero resid
+        Hm[2:, 0:2] = 0.2 * np.random.default_rng(7).standard_normal((4, 2))
+        wanted, resid, conv, Q_l, S_new, b_new = _ks_contract(
+            Hm, beta=0.5, k=1, l_target=1, tol=1e-14)
+        assert not conv
+        l_eff = Q_l.shape[1]
+        assert l_eff in (1, 2)
+        if l_eff == 2:
+            assert True  # grew over the block
+        else:
+            # a 1-column cut is only legal if it is NOT inside a block
+            assert np.abs(Q_l.T @ Hm @ Q_l - S_new).max() < 1e-12
+
+    def test_restarts_validation(self):
+        import pytest
+        from pcsc_eigenvalue_solver_project_tpu.solvers.arnoldi import (
+            krylov_schur_eigenvalues)
+        from pcsc_eigenvalue_solver_project_tpu.matrix.dense import (
+            DenseMatrix)
+        with pytest.raises(ValueError):
+            krylov_schur_eigenvalues(
+                DenseMatrix.from_array(np.eye(8)), k=2, restarts=0)

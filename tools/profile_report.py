@@ -1,7 +1,8 @@
 """Real-chip profile artifact (VERDICT r2 task 8; r3 task 9 adds the
 blocked-QR sweep leg with a bytes/duty breakdown and AED economics).
 
-Produces PROFILE_r03.json with, for the two flagship kernels:
+Produces PROFILE_r{ROUND}.json (see the ROUND constant below) with,
+for the two flagship kernels:
 - marginal step time on the real chip (scalar-readback marginal timing —
   the only honest clock through the axon relay, utils/timing.py),
 - exact static HBM bytes per step from the operand layouts,
@@ -35,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pcsc_eigenvalue_solver_project_tpu.utils.timing import marginal_loop_time
 
+ROUND = "05"
 HBM_PEAK_GBS = 819.0   # v5e spec
 N = 100_000
 BANDWIDTH = 16
@@ -243,7 +245,7 @@ def main():
         "jax_profiler_trace": try_trace(),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROFILE_r04.json")
+        os.path.abspath(__file__))), "PROFILE_r%s.json" % ROUND)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
