@@ -474,13 +474,14 @@ def _hess_blocked_kernel(scal_ref, h_ref, *refs, n_planes: int, np_: int,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "accumulate_q",
                                              "nb", "slab_r",
-                                             "phase_split"))
+                                             "phase_split", "chunk"))
 def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
                               interpret: bool = False,
                               accumulate_q: bool = False,
                               nb: int | None = None,
                               slab_r: int | None = None,
-                              phase_split: bool | None = None):
+                              phase_split: bool | None = None,
+                              chunk: int | None = None):
     """Blocked Hessenberg reduction of split planes, HBM-resident.
 
     ``planes``: (n_planes, m, m) f32 (1 = real, 2 = re/im), live region
@@ -497,8 +498,18 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     # complex n=2048 overflows the 16 MB scoped-VMEM stack by ~0.8 MB at
     # slab_r=64 (even with the fused plane-pair matmuls); halving the
     # slab window buys ~1.3 MB of declared buffer + slab temporaries
-    if slab_r is None:
+    slab_defaulted = slab_r is None
+    if slab_defaulted:
         slab_r = 64 if n_planes == 1 else 32
+    if chunk is None and n_planes == 1 and np_ > 4096:
+        # round-5 per-phase sub-splitting: beyond the proven 4096 real
+        # ceiling, chunk every np_-operand matmul so static instance
+        # splits stay bounded; shrink the slab window so the remaining
+        # whole-slab DMA buffers fit the budget too
+        chunk = next(c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
+                     if np_ % c == 0)
+        if slab_defaulted:
+            slab_r = 32
     if np_ % nb != 0:
         raise ValueError(
             f"hessenberg_blocked_planes: nb ({nb}) must divide the "
@@ -513,9 +524,11 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         # the monolithic kernel's HIGHEST-precision operand splits crash
         # the remote compiler beyond these sizes (round-4 diagnosis)
         phase_split = (n_planes == 2 and np_ > 1024) or \
-            (n_planes == 1 and np_ > 2048)
+            (n_planes == 1 and np_ > 2048) or chunk is not None
         if phase_split and nb_defaulted:
             nb = min(nb, 32)   # halves the per-instance split footprint
+    if chunk is not None and not phase_split:
+        raise ValueError("chunk requires phase_split")
     if phase_split:
         q0 = None
         if accumulate_q:
@@ -523,7 +536,8 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
             q0 = q0.at[0].set(jnp.eye(np_, dtype=jnp.float32))
         h, q = _phase_split_reduce(
             p, n, n_planes=n_planes, np_=np_, nb=nb, slab_r=slab_r,
-            accumulate_q=accumulate_q, interpret=interpret, q0=q0)
+            accumulate_q=accumulate_q, interpret=interpret, q0=q0,
+            chunk=chunk)
         if accumulate_q:
             return h[:, :m, :m], q[:, :m, :m]
         return h[:, :m, :m]
@@ -586,10 +600,28 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
 # separate pallas_calls restores compilation with identical numerics).
 # ---------------------------------------------------------------------------
 
-def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, sems, *,
-                        n_planes: int, np_: int, nb: int, slab_r: int):
+def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, *rest,
+                        n_planes: int, np_: int, nb: int, slab_r: int,
+                        chunk: int | None = None):
     """Phase A of one panel: build reflectors V, compact-WY T, and
-    Z = A0 V (streamed matvec). Reads h only; writes the VMEM outputs."""
+    Z = A0 V (streamed matvec). Reads h only; writes the VMEM outputs.
+
+    ``chunk`` (per-phase sub-splitting, round-5): when set, every matmul
+    whose operand carries an np_-sized dimension runs as a ``fori`` over
+    ``chunk``-row/col slices, so each STATIC matmul instance's
+    HIGHEST-precision hi/lo bf16 operand splits are bounded by the chunk
+    size instead of np_.  The remote compiler keeps per-instance splits
+    live for the whole program (round-4 diagnosis) — at np_ = 8192 the
+    unchunked phase kernels' cumulative splits plus declared scratch
+    exceed the 16 MB scoped-VMEM budget and the compile helper dies;
+    chunking makes the budget O(instances * chunk * nb), np_-independent.
+    1-plane (real) path only; requires chunk % 128 == 0 and
+    np_ % chunk == 0."""
+    if chunk is not None:
+        rowbuf, sems = rest
+    else:
+        (sems,) = rest
+        rowbuf = None
     k0 = scal_ref[0]
     n = scal_ref[1]
     two = n_planes == 2
@@ -611,6 +643,14 @@ def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, sems, *,
         return pltpu.make_async_copy(hbm, slab.at[buf_slot],
                                      sems.at[buf_slot])
 
+    n_ch = np_ // chunk if chunk is not None else 0
+
+    def _lane_ds(rc):
+        return pl.ds(pl.multiple_of(rc * chunk, LANES), chunk)
+
+    def _row_ds(rc):
+        return pl.ds(rc * chunk, chunk)
+
     @pl.when(k0 < jnp.maximum(n - 2, 0))
     def _():
         pdma = pltpu.make_async_copy(
@@ -618,6 +658,112 @@ def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, sems, *,
             pan, sems.at[2])
         pdma.start()
         pdma.wait()
+
+        def col_body_chunked(j, _c):
+            # 1-plane sub-split column step: identical math to col_body's
+            # real branch, with every np_-operand matmul chunked (see
+            # kernel docstring). rowbuf holds the live (1, np_) column.
+            k = k0 + j
+            e_pan = ((jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                      == half + j)).astype(jnp.float32)
+            e_nb = (lane_nb == j).astype(jnp.float32)
+
+            def ext_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = _rT(e_pan, pan[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, ext_step, 0)
+
+            def vrow_step(rc, acc):
+                ek_ch = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, chunk), 1) + rc * chunk
+                    == k).astype(jnp.float32)
+                return acc + _rM(ek_ch, V[0, _row_ds(rc), :])
+            vrow_r = jax.lax.fori_loop(0, n_ch, vrow_step,
+                                       jnp.zeros((1, nb), jnp.float32))
+            t1 = _rT(vrow_r, T[0])
+
+            def zt_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = rowbuf[:, _lane_ds(rc)] \
+                    - _rT(t1, Z[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, zt_step, 0)
+
+            def u_step(rc, acc):
+                return acc + _rM(rowbuf[:, _lane_ds(rc)],
+                                 V[0, _row_ds(rc), :])
+            u = jax.lax.fori_loop(0, n_ch, u_step,
+                                  jnp.zeros((1, nb), jnp.float32))
+            t3 = _rM(u, T[0])
+
+            def vt_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = rowbuf[:, _lane_ds(rc)] \
+                    - _rT(t3, V[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, vt_step, 0)
+
+            cr = rowbuf[:, :]                       # (1, np_)
+
+            mask_tail = (lane_np >= k + 1).astype(jnp.float32)
+            xr = cr * mask_tail
+            norm_x = jnp.sqrt(jnp.sum(xr * xr))
+            mask_t2 = (lane_np >= k + 2).astype(jnp.float32)
+            tail_zero = jnp.sum(cr * cr * mask_t2) == 0.0
+            e_k1 = (lane_np == k + 1).astype(jnp.float32)
+            x0r = jnp.sum(cr * e_k1)
+            has0 = jnp.abs(x0r) > 0.0
+            sgr = jnp.where(has0, jnp.sign(x0r), one)
+            vr = xr + sgr * norm_x * e_k1
+            vn2 = jnp.sum(vr * vr)
+            degenerate = vn2 == 0.0
+            vinv = jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+            tau = jnp.where(jnp.logical_or(tail_zero, degenerate),
+                            zero, 2.0 * one)
+            vr = vr * vinv * jnp.where(tau > 0, one, zero)
+
+            rowbuf[:, :] = vr
+
+            def s_step(rc, acc):
+                return acc + _rM(rowbuf[:, _lane_ds(rc)],
+                                 V[0, _row_ds(rc), :])
+            sr_ = jax.lax.fori_loop(0, n_ch, s_step,
+                                    jnp.zeros((1, nb), jnp.float32))
+            tcr = -tau * _rT(sr_, T[0])
+            below_j = (lane_nb < j).astype(jnp.float32)
+            T[0] = T[0] + _outer(tcr * below_j + tau * e_nb, e_nb)
+
+            # V[:, j] = v chunk-wise: an _outer with a (1, np_) operand
+            # materializes the TRANSPOSED (np_, 1) column on the Mosaic
+            # stack — (8, 128)-tiling pads it to np_ * 512 B (4 MB at
+            # 8192) plus its hi/lo splits, the single biggest stack item
+            # (probed round 5); per-chunk outers cap it at chunk * 512 B
+            def vw_step(rc, _):
+                V[0, _row_ds(rc), :] = V[0, _row_ds(rc), :] \
+                    + _outer(rowbuf[:, _lane_ds(rc)], e_nb)
+                return _
+            jax.lax.fori_loop(0, n_ch, vw_step, 0)
+
+            slab_in(0, 0).start()
+
+            def mv_slab(si, acc):
+                cur = si % 2
+
+                @pl.when(si + 1 < n_slabs)
+                def _():
+                    slab_in((si + 1) % 2, si + 1).start()
+                slab_in(cur, si).wait()
+                rows = pl.ds(si * slab_r, slab_r)
+                keep = (1.0 - e_nb)
+
+                def mch(rc, acc):
+                    return acc + _dot_nt(slab[cur, 0, :, _lane_ds(rc)],
+                                         rowbuf[:, _lane_ds(rc)])
+                z_s = jax.lax.fori_loop(
+                    0, n_ch, mch, jnp.zeros((slab_r, 1), jnp.float32))
+                Z[0, rows] = Z[0, rows] * keep + _dot(z_s, e_nb)
+                return acc
+
+            jax.lax.fori_loop(0, n_slabs, mv_slab, 0)
+            return _c
 
         def col_body(j, _c):
             k = k0 + j
@@ -745,17 +891,29 @@ def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, sems, *,
             return _c
 
         nb_live = jnp.clip(n - 2 - k0, 0, nb)
-        jax.lax.fori_loop(0, nb_live, col_body, 0)
+        jax.lax.fori_loop(0, nb_live,
+                          col_body_chunked if chunk is not None else col_body,
+                          0)
 
 
 def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
-                        *, n_planes: int, np_: int, nb: int, slab_r: int):
+                        *, n_planes: int, np_: int, nb: int, slab_r: int,
+                        chunk: int | None = None):
     """Phase B of one panel: the blocked trailing update
-    A := (I - V T^H V^H)(A - (Z T) V^H) streamed over row slabs."""
+    A := (I - V T^H V^H)(A - (Z T) V^H) streamed over row slabs.
+    ``chunk``: per-phase sub-splitting of the np_-operand matmuls (see
+    _hess_panelA_kernel docstring); 1-plane only."""
     k0 = scal_ref[0]
     n = scal_ref[1]
     two = n_planes == 2
     n_slabs = np_ // slab_r
+    n_ch = np_ // chunk if chunk is not None else 0
+
+    def _lane_ds(rc):
+        return pl.ds(pl.multiple_of(rc * chunk, LANES), chunk)
+
+    def _row_ds(rc):
+        return pl.ds(rc * chunk, chunk)
     del h_in  # aliased with h_ref
 
     def slab_dma(buf_slot, si, direction):
@@ -786,6 +944,12 @@ def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
                 p1 = _dotT(vs2, slab[cur, 1])
                 W[0] = W[0] + p0[0:nb] + p1[nb:]
                 W[1] = W[1] + p1[0:nb] - p0[nb:]
+            elif chunk is not None:
+                def pch(rc, _):
+                    W[0, :, _lane_ds(rc)] = W[0, :, _lane_ds(rc)] \
+                        + _dotT(V[0, rows], slab[cur, 0, :, _lane_ds(rc)])
+                    return _
+                jax.lax.fori_loop(0, n_ch, pch, 0)
             else:
                 W[0] = W[0] + _dotT(V[0, rows], slab[cur, 0])
             return acc
@@ -818,6 +982,26 @@ def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
                  jnp.concatenate([g2i, -g2r], axis=1)], axis=0), Vc)
             W[0] = pr - wuc[0:nb]
             W[1] = pi_ - wuc[nb:]
+        elif chunk is not None:
+            # sub-split: Y rows, the V^H Y contraction, and the W update
+            # all run chunk-wise so no instance carries an np_ operand
+            def y_step(rc, _):
+                Y[0, _row_ds(rc), :] = _dot(Z[0, _row_ds(rc), :], T[0])
+                return _
+            jax.lax.fori_loop(0, n_ch, y_step, 0)
+
+            def vy_step(rc, acc):
+                return acc + _dotT(V[0, _row_ds(rc), :],
+                                   Y[0, _row_ds(rc), :])
+            vy = jax.lax.fori_loop(0, n_ch, vy_step,
+                                   jnp.zeros((nb, nb), jnp.float32))
+            g2 = _dot(T[0].T, vy)
+
+            def w_step(rc, _):
+                W[0, :, _lane_ds(rc)] = _dotT(T[0], W[0, :, _lane_ds(rc)]) \
+                    - _dot_nt(g2, V[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, w_step, 0)
         else:
             Y[0] = _dot(Z[0], T[0])
             g2 = _dot(T[0].T, _dotT(V[0], Y[0]))
@@ -849,6 +1033,14 @@ def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
                 br, bi = bc[:, 0:np_], bc[:, np_:]
                 slab[cur, 0] = slab[cur, 0] - ar - br
                 slab[cur, 1] = slab[cur, 1] - ai - bi
+            elif chunk is not None:
+                def uch(rc, _):
+                    a = _dot_nt(Y[0, rows], V[0, _row_ds(rc), :])
+                    b = _dot(V[0, rows], W[0, :, _lane_ds(rc)])
+                    slab[cur, 0, :, _lane_ds(rc)] = \
+                        slab[cur, 0, :, _lane_ds(rc)] - a - b
+                    return _
+                jax.lax.fori_loop(0, n_ch, uch, 0)
             else:
                 slab[cur, 0] = slab[cur, 0] - _dot_nt(Y[0, rows], V[0]) \
                     - _dot(V[0, rows], W[0])
@@ -870,12 +1062,21 @@ def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
 
 
 def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
-                        n_planes: int, np_: int, nb: int, slab_r: int):
-    """Phase C (accumulate_q): Q := Q - (Q V) T V^H streamed."""
+                        n_planes: int, np_: int, nb: int, slab_r: int,
+                        chunk: int | None = None):
+    """Phase C (accumulate_q): Q := Q - (Q V) T V^H streamed.
+    ``chunk``: per-phase sub-splitting (see _hess_panelA_kernel)."""
     k0 = scal_ref[0]
     n = scal_ref[1]
     two = n_planes == 2
     n_slabs = np_ // slab_r
+    n_ch = np_ // chunk if chunk is not None else 0
+
+    def _lane_ds(rc):
+        return pl.ds(pl.multiple_of(rc * chunk, LANES), chunk)
+
+    def _row_ds(rc):
+        return pl.ds(rc * chunk, chunk)
     del q_in
 
     def slab_dma(buf_slot, si, direction):
@@ -905,6 +1106,12 @@ def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
                     - _dot(slab[cur, 1], V[1])
                 qv[1, rows] = _dot(slab[cur, 0], V[1]) \
                     + _dot(slab[cur, 1], V[0])
+            elif chunk is not None:
+                def qch(rc, acc):
+                    return acc + _dot(slab[cur, 0, :, _lane_ds(rc)],
+                                      V[0, _row_ds(rc), :])
+                qv[0, rows] = jax.lax.fori_loop(
+                    0, n_ch, qch, jnp.zeros((slab_r, nb), jnp.float32))
             else:
                 qv[0, rows] = _dot(slab[cur, 0], V[0])
             return acc
@@ -915,6 +1122,11 @@ def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
             mi = _dot(qv[0], T[1]) + _dot(qv[1], T[0])
             qv[0] = mr
             qv[1] = mi
+        elif chunk is not None:
+            def qt_step(rc, _):
+                qv[0, _row_ds(rc), :] = _dot(qv[0, _row_ds(rc), :], T[0])
+                return _
+            jax.lax.fori_loop(0, n_ch, qt_step, 0)
         else:
             qv[0] = _dot(qv[0], T[0])
         slab_dma(0, 0, "in").start()
@@ -932,6 +1144,13 @@ def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
                 ai = _dot_nt(qv[1, rows], V[0]) - _dot_nt(qv[0, rows], V[1])
                 slab[cur, 0] = slab[cur, 0] - ar
                 slab[cur, 1] = slab[cur, 1] - ai
+            elif chunk is not None:
+                def qu_step(rc, _):
+                    slab[cur, 0, :, _lane_ds(rc)] = \
+                        slab[cur, 0, :, _lane_ds(rc)] \
+                        - _dot_nt(qv[0, rows], V[0, _row_ds(rc), :])
+                    return _
+                jax.lax.fori_loop(0, n_ch, qu_step, 0)
             else:
                 slab[cur, 0] = slab[cur, 0] - _dot_nt(qv[0, rows], V[0])
             wb = slab_dma(cur, si, "out")
@@ -945,9 +1164,20 @@ def _hess_panelC_kernel(scal_ref, V, T, q_in, q_ref, qv, slab, sems, *,
 def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
                         np_: int, nb: int, slab_r: int,
                         accumulate_q: bool, interpret: bool,
-                        q0: jax.Array | None = None):
-    """fori over panels, two (three with Q) pallas_calls per panel."""
+                        q0: jax.Array | None = None,
+                        chunk: int | None = None):
+    """fori over panels, two (three with Q) pallas_calls per panel.
+    ``chunk``: per-phase sub-splitting of np_-operand matmuls (1-plane
+    only) — the round-5 mitigation that lifts the real path past the
+    np_ = 4096 cumulative-split compile ceiling."""
     n_panels = np_ // nb
+    if chunk is not None:
+        if n_planes != 1:
+            raise ValueError("chunked phase-split is 1-plane (real) only")
+        if chunk % LANES != 0 or np_ % chunk != 0:
+            raise ValueError(
+                f"chunk ({chunk}) must be a multiple of {LANES} dividing "
+                f"the padded size ({np_})")
     sc_vec = [pltpu.SemaphoreType.DMA((3,))]
     shapes_vzt = (jax.ShapeDtypeStruct((n_planes, np_, nb), jnp.float32),
                   jax.ShapeDtypeStruct((n_planes, np_, nb), jnp.float32),
@@ -955,6 +1185,10 @@ def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    a_scratch = [pltpu.VMEM((n_planes, np_, LANES), jnp.float32),  # pan
+                 pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32)]
+    if chunk is not None:
+        a_scratch.append(pltpu.VMEM((1, np_), jnp.float32))        # rowbuf
 
     def body(pi, carry):
         h, q = carry
@@ -962,19 +1196,16 @@ def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
                           jnp.asarray(n, jnp.int32)])
         V, Z, T = pl.pallas_call(
             functools.partial(_hess_panelA_kernel, n_planes=n_planes,
-                              np_=np_, nb=nb, slab_r=slab_r),
+                              np_=np_, nb=nb, slab_r=slab_r, chunk=chunk),
             out_shape=shapes_vzt,
             in_specs=[smem, hbm],
             out_specs=(vmem, vmem, vmem),
-            scratch_shapes=[
-                pltpu.VMEM((n_planes, np_, LANES), jnp.float32),  # pan
-                pltpu.VMEM((2, n_planes, slab_r, np_), jnp.float32),
-            ] + sc_vec,
+            scratch_shapes=a_scratch + sc_vec,
             interpret=interpret,
         )(scal, h)
         h = pl.pallas_call(
             functools.partial(_hess_panelB_kernel, n_planes=n_planes,
-                              np_=np_, nb=nb, slab_r=slab_r),
+                              np_=np_, nb=nb, slab_r=slab_r, chunk=chunk),
             out_shape=jax.ShapeDtypeStruct(h.shape, jnp.float32),
             in_specs=[smem, vmem, vmem, vmem, hbm],
             out_specs=hbm,
@@ -989,7 +1220,8 @@ def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
         if accumulate_q:
             q = pl.pallas_call(
                 functools.partial(_hess_panelC_kernel, n_planes=n_planes,
-                                  np_=np_, nb=nb, slab_r=slab_r),
+                                  np_=np_, nb=nb, slab_r=slab_r,
+                                  chunk=chunk),
                 out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
                 in_specs=[smem, vmem, vmem, hbm],
                 out_specs=hbm,

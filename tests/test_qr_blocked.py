@@ -196,3 +196,41 @@ def test_phase_split_matches_monolithic_spectrum():
     err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
                       np.linalg.eigvals(H.astype(np.complex128)))
     assert err < 5e-5 * n
+
+
+def test_phase_split_chunked_matches_unchunked():
+    """Round-5 per-phase sub-splitting: with ``chunk`` set, every
+    np_-operand matmul in the phase kernels runs as a fori over
+    fixed-size chunks (static instance splits bounded independent of
+    np_ — the mitigation that lifts the real path past the 4096
+    compile ceiling to 8192). Numerics must match the unchunked
+    phase-split path to f32 reassociation noise, with exact structure
+    and a valid Q similarity."""
+    rng = np.random.default_rng(1)
+    n = 300
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    planes = jnp.asarray(a)[None]
+    h_ref = np.asarray(hessenberg_blocked_planes(
+        planes, n, interpret=True, phase_split=True, nb=32, slab_r=64))[0]
+    h_ch, q_ch = hessenberg_blocked_planes(
+        planes, n, interpret=True, phase_split=True, nb=32, slab_r=64,
+        chunk=128, accumulate_q=True)
+    h_ch, q_ch = np.asarray(h_ch)[0], np.asarray(q_ch)[0]
+    assert np.abs(np.tril(h_ch, -2)).max() == 0.0
+    assert np.abs(h_ch - h_ref[:h_ch.shape[0], :h_ch.shape[1]]).max() < 1e-2
+    assert np.abs(q_ch.T @ q_ch - np.eye(n)).max() < 1e-5
+    assert np.abs(q_ch @ h_ch @ q_ch.T - a).max() < 1e-4
+    err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
+                      np.linalg.eigvals(h_ch.astype(np.complex128)))
+    assert err < 5e-5 * n
+
+
+def test_phase_split_chunk_validation():
+    planes = jnp.zeros((1, 300, 300), jnp.float32)
+    with pytest.raises(ValueError):
+        hessenberg_blocked_planes(planes, 300, interpret=True,
+                                  phase_split=True, chunk=100)  # not %128
+    with pytest.raises(ValueError):
+        hessenberg_blocked_planes(
+            jnp.zeros((2, 300, 300), jnp.float32), 300, interpret=True,
+            phase_split=True, chunk=128)   # 2-plane unsupported
