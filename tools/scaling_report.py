@@ -186,6 +186,107 @@ def measure_gell(n: int, bandwidth: int, n_far: int, devices, reps: int = 10):
     return rows
 
 
+def build_il_step(n: int, bandwidth: int, n_devices: int):
+    """Jitted distributed interleaved-DIA power step (the flagship
+    single-chip kernel's distributed form, parallel/dia.py: seam-lane
+    ppermute halos)."""
+    from pcsc_eigenvalue_solver_project_tpu.models.generators import banded_full
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.dia_spmv import (
+        dia_matvec_il_window, il_window_halo)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.dia import (
+        dia_il_halo_window, encode_vec_il_sharded, partition_dia_il)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+    from pcsc_eigenvalue_solver_project_tpu.parallel.sharded import (
+        psum_norm, psum_vdot)
+
+    mesh = make_row_mesh(n_devices)
+    dia = banded_full(n, bandwidth=bandwidth, dtype=np.float32, seed=0)
+    A = partition_dia_il(dia, mesh)
+    pr = il_window_halo(A.offsets)
+
+    def local_step(data_il, x_local):
+        w = dia_il_halo_window(x_local, pr)
+        y = dia_matvec_il_window(data_il, A.offsets, w, tile_s=A.tile_s)
+        norm = psum_norm(y)
+        x_new = y / jnp.where(norm == 0, 1.0, norm).astype(y.dtype)
+        w2 = dia_il_halo_window(x_new, pr)
+        z = dia_matvec_il_window(data_il, A.offsets, w2, tile_s=A.tile_s)
+        lam = psum_vdot(x_new, z)
+        return x_new, lam
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "rows", None), P("rows", None)),
+        out_specs=(P("rows", None), P()),
+    ))
+    x0 = encode_vec_il_sharded(
+        np.ones(n, np.float32) / np.sqrt(n), A, mesh)
+    return step, A, x0, dia.nnz
+
+
+def build_splitc_step(n: int, bandwidth: int, n_devices: int):
+    """Jitted distributed split-plane complex power step
+    (parallel/split_complex.py: one cyclic ppermute pair moves both
+    planes' halos)."""
+    from pcsc_eigenvalue_solver_project_tpu.matrix.split_complex import (
+        SplitComplexDIA)
+    from pcsc_eigenvalue_solver_project_tpu.parallel.mesh import make_row_mesh
+    from pcsc_eigenvalue_solver_project_tpu.parallel.split_complex import (
+        _psum_splitc_norm, _psum_splitc_vdot, _splitc_halo_window,
+        _splitc_window_matvec, partition_splitc_dia)
+
+    rng = np.random.default_rng(0)
+    offs = tuple(range(-bandwidth, bandwidth + 1))
+    k = len(offs)
+    planes = np.zeros((2, k, n), np.float32)
+    for d, off in enumerate(offs):
+        planes[0, d] = rng.standard_normal(n)
+        planes[1, d] = rng.standard_normal(n)
+        if off > 0:
+            planes[:, d, n - off:] = 0
+        elif off < 0:
+            planes[:, d, :-off] = 0
+    sc = SplitComplexDIA(planes=jnp.asarray(planes), offsets=offs,
+                         shape=(n, n))
+    mesh = make_row_mesh(n_devices)
+    A = partition_splitc_dia(sc, mesh)
+
+    def local_step(pl_local, x_local):
+        w = _splitc_halo_window(x_local, A.halo)
+        y = _splitc_window_matvec(pl_local, A.offsets, w, A.halo)
+        norm = _psum_splitc_norm(y, "rows")
+        x_new = y / jnp.where(norm == 0, 1.0, norm).astype(y.dtype)
+        w2 = _splitc_halo_window(x_new, A.halo)
+        z = _splitc_window_matvec(pl_local, A.offsets, w2, A.halo)
+        lam = _psum_splitc_vdot(x_new, z, "rows")
+        return x_new, lam
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, None, "rows"), P(None, "rows")),
+        out_specs=(P(None, "rows"), P()),
+    ))
+    x0 = jax.device_put(
+        jnp.stack([jnp.ones((A.n_padded,), jnp.float32),
+                   jnp.zeros((A.n_padded,), jnp.float32)])
+        / np.sqrt(A.n_padded).astype(np.float32),
+        NamedSharding(mesh, P(None, "rows")))
+    return step, A, x0, 2 * sc.nnz
+
+
+def measure_path(builder, n: int, bandwidth: int, n_devices: int):
+    """Compile one step of a distributed path and report its per-step
+    HLO collective bytes (exact, hardware-independent)."""
+    step, A, x0, nnz = builder(n, bandwidth, n_devices)
+    data = A.data_il if hasattr(A, "data_il") else \
+        (A.planes if hasattr(A, "planes") else A.data)
+    compiled = step.lower(data, x0).compile()
+    out = step(data, x0)
+    jax.block_until_ready(out)
+    return dict(n_devices=n_devices, nnz=nnz,
+                comm_bytes=collective_bytes(compiled.as_text()))
+
+
 def measure(n: int, bandwidth: int, devices, reps: int = 30):
     rows = []
     for nd in devices:
@@ -257,15 +358,44 @@ def main():
             comm_fraction=t_comm / (t_comm + t_compute),
             efficiency_bound_no_overlap=t_compute / (t_compute + t_comm))
 
+    # HLO collective-bytes checks for the interleaved-DIA and
+    # split-complex distributed paths (the pruned-GELL leg below already
+    # carries one): exact per-step bytes from the compiled program, with
+    # the same n-independence assertion as the DIA halo
+    il8 = measure_path(build_il_step, args.n, args.bandwidth, 8)
+    il8_small = measure_path(build_il_step, args.n // 4, args.bandwidth, 8)
+    sc8 = measure_path(build_splitc_step, args.n, args.bandwidth, 8)
+    sc8_small = measure_path(build_splitc_step, args.n // 4,
+                             args.bandwidth, 8)
+
+    def _perm(r):
+        return r["comm_bytes"].get("collective-permute", 0)
+
     report = dict(
         metric="spmv_scaling_efficiency_bound_8dev",
         value=round(eff[8]["efficiency_bound_no_overlap"], 4),
         unit="fraction",
         vs_baseline=round(eff[8]["efficiency_bound_no_overlap"] / 0.80, 3),
         n=args.n, bandwidth=args.bandwidth,
+        value_semantics=(
+            "analytic roofline BOUND computed from exact per-step HLO "
+            "collective bytes and measured single-chip bandwidths — NOT a "
+            "multi-chip wall-clock measurement (no multi-chip hardware is "
+            "reachable from this box)"),
         halo_bytes_n_independent=halo_n_independent,
         per_device=eff,
         fake_mesh_step_s={r["n_devices"]: round(r["step_s"], 6) for r in rows},
+        fake_mesh_step_s_semantics=(
+            "CPU-emulation wall-clock on one socket: N fake devices share "
+            "one CPU, so steps are EXPECTED to anti-scale with N; recorded "
+            "only as a structural sanity check (the step runs and the "
+            "collectives execute), never as scaling evidence"),
+        hlo_collective_bytes_per_path=dict(
+            dia_il=dict(per_step=il8["comm_bytes"],
+                        permute_bytes_n_independent=_perm(il8) == _perm(il8_small)),
+            split_complex=dict(per_step=sc8["comm_bytes"],
+                               permute_bytes_n_independent=_perm(sc8) == _perm(sc8_small)),
+        ),
         gell_pruned=dict(
             efficiency_bound_8dev=round(
                 gell_eff["efficiency_bound_no_overlap"], 4),
