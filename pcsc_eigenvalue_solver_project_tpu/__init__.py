@@ -40,6 +40,8 @@ from .solvers.lanczos import (lanczos_eigenpairs, lanczos_eigenvalues,
                               lanczos_thick_restart)
 from .solvers.lobpcg import lobpcg_eigenvalues
 from .solvers.subspace import chebyshev_subspace_iteration, subspace_iteration
+from .matrix.auto import (LayoutDecision, PermutedOperator,
+                          from_coo, suggest_layout)
 from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
 from .solvers.power import power_method_split_complex
@@ -53,6 +55,10 @@ __all__ = [
     "SparseDIA",
     "InterleavedSplitComplexDIA",
     "SplitComplexDIA",
+    "LayoutDecision",
+    "PermutedOperator",
+    "from_coo",
+    "suggest_layout",
     "arnoldi_eigenvalues",
     "krylov_schur_eigenvalues",
     "lanczos_eigenpairs",
