@@ -695,17 +695,32 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
     return eig[:, 0, :m], stat[0], stat[1]
 
 
+# Schur-driver crossover for compute_vectors (round-5 measurement, see
+# docs/PERF_NOTES.md): at 2048 the monolithic whole-solve kernel beats the
+# Schur-mode AED driver (5.6 s vs 6.9 s — Q-carrying sweeps shrink the AED
+# saving and ~23 round syncs at ~30 ms eat the rest), but the monolithic
+# kernel's sweep count grows ~quadratically with n while AED's grows
+# ~linearly, so AED wins at 4096. Dispatch is pinned by
+# tests/test_qr_aed.py::test_schur_driver_dispatch.
+_SCHUR_AED_MIN_N = 3072
+
+
 def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
                                   tol: float, *, interpret: bool = False,
-                                  compute_vectors: bool = False):
+                                  compute_vectors: bool = False,
+                                  schur_driver: str = "auto"):
     """Accelerated QR eigenvalues fully on-chip for sizes beyond the
     in-VMEM kernels' caps: blocked Hessenberg + blocked shifted-Givens
     QR, both HBM-resident. Same return contract as
     ``qr_kernels.qr_eigenvalues_pallas`` (eigenvalues complex64, sweeps,
     converged — plus an (n, n) complex64 eigenvector matrix when
     ``compute_vectors``: both kernels accumulate the unitary similarity
-    in HBM and the triangular eigenvectors come from host
-    back-substitution, exactly like the in-VMEM path)."""
+    in HBM and the triangular eigenvectors come from Pallas blocked
+    back-substitution on device, exactly like the in-VMEM path).
+
+    ``schur_driver`` (compute_vectors only): "monolithic" (whole-solve
+    Q-accumulating kernel), "aed" (Schur-mode AED rounds), or "auto"
+    (by ``_SCHUR_AED_MIN_N`` — the measured crossover)."""
     from .hessenberg_blocked import hessenberg_blocked_planes
     from .qr_kernels import split_planes_f32
     n = a.shape[0]
@@ -719,21 +734,22 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
         e = np.asarray(jax.device_get(eig))
         return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
                 int(sweeps), bool(int(hi) <= 1))
+    if schur_driver not in ("auto", "monolithic", "aed"):
+        raise ValueError(f"unknown schur_driver {schur_driver!r}")
+    if schur_driver == "auto":
+        schur_driver = "aed" if n >= _SCHUR_AED_MIN_N else "monolithic"
     h, qh = hessenberg_blocked_planes(planes, n, interpret=interpret,
                                       accumulate_q=True)
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])
         qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
-    # The Schur-mode AED driver (qr_aed.qr_eig_blocked_aed_schur_planes)
-    # was measured at 2048 and LOST to the monolithic whole-solve kernel
-    # (6.9 s vs 5.6 s despite 2220-vs-2546 sweeps): Schur-mode sweeps
-    # carry Q updates and full-width slabs, so the AED sweep savings are
-    # smaller, and ~23 per-round dispatch syncs (~30 ms each) plus the
-    # AED strip GEMMs eat the rest. The monolithic path stays the
-    # default; the AED driver remains available for n >> 2048 where the
-    # quadratic sweep savings should eventually dominate.
-    eig, sweeps, hi, t_pl, qs = qr_eig_blocked_planes(
-        h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
+    if schur_driver == "aed":
+        from .qr_aed import qr_eig_blocked_aed_schur_planes
+        eig, sweeps, hi, t_pl, qs = qr_eig_blocked_aed_schur_planes(
+            h, n, max_sweeps, tol, interpret=interpret)
+    else:
+        eig, sweeps, hi, t_pl, qs = qr_eig_blocked_planes(
+            h, n, max_sweeps, tol, interpret=interpret, accumulate_q=True)
     e = np.asarray(jax.device_get(eig))
     eigs = (e[0] + 1j * e[1])[:n].astype(np.complex64)
     # device-resident finishing (VERDICT r3 task 3): Q_hess @ Q_sweeps,

@@ -20,8 +20,11 @@ floating-point operations with exactly ONE matvec per iteration.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dtypes import check_scalar_type, real_dtype_of
 from ..core.options import SolverOptions
@@ -228,3 +231,97 @@ def power_method(M: AbstractMatrix, opts: SolverOptions = SolverOptions(), *,
     r = _power_loop(M, x0, jnp.asarray(opts.max_iterations, jnp.int32),
                     jnp.asarray(opts.tolerance, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
     return decode_result(M, r)
+
+
+# ---------------------------------------------------------------------------
+# Double-single (f64-class accuracy on-chip) power iteration — round 5.
+# The reference's scalar contract is double precision (types.hpp:28-30);
+# on TPU the f64 dtype is host-pinned (core/dtypes.py), so this path runs
+# the same loop in two-float compensated arithmetic (ops/ds64.py) at
+# ~2^-48 relative per op, entirely on the accelerator.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _power_loop_ds64(data_h, data_l, offsets, x0h, x0l,
+                     max_iterations: jax.Array, tol: jax.Array):
+    from ..ops.ds64 import (dia_matvec_ds, ds_add, ds_dot, ds_mul_f32,
+                            ds_rsqrt)
+
+    def matvec(xh, xl):
+        return dia_matvec_ds(data_h, data_l, offsets, xh, xl)
+
+    def cond(c):
+        k = c[0]
+        done = c[-1]
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(c):
+        (k, xh, xl, zh, zl, lh, ll, initialized, converged, used, done) = c
+        n2h, n2l = ds_dot(zh, zl, zh, zl)
+        breakdown = n2h == 0.0
+        rh, rl = ds_rsqrt(jnp.where(breakdown, jnp.float32(1.0), n2h),
+                          jnp.where(breakdown, jnp.float32(0.0), n2l))
+        xnh, xnl = ds_mul_f32(*ds_mul_f32(zh, zl, rh), 1.0)
+        # second-order: x = z * (rh + rl) = z*rh + z*rl
+        c2h, c2l = ds_mul_f32(zh, zl, rl)
+        xnh, xnl = ds_add(xnh, xnl, c2h, c2l)
+        znh, znl = matvec(xnh, xnl)
+        lnh, lnl = ds_dot(xnh, xnl, znh, znl)
+        dh, _dl = ds_add(lnh, lnl, -lh, -ll)
+        conv_now = jnp.logical_and(
+            initialized, jnp.abs(dh) <= tol * (1.0 + jnp.abs(lnh)))
+        conv_now = jnp.logical_and(conv_now, jnp.logical_not(breakdown))
+        keep = jnp.logical_not(breakdown)
+
+        def sel(new, old):
+            return jnp.where(keep, new, old)
+
+        return (k + 1, sel(xnh, xh), sel(xnl, xl), sel(znh, zh),
+                sel(znl, zl), sel(lnh, lh), sel(lnl, ll),
+                jnp.logical_or(initialized, keep),
+                jnp.logical_or(converged, conv_now), k + 1,
+                jnp.logical_or(done, jnp.logical_or(breakdown, conv_now)))
+
+    z0h, z0l = matvec(x0h, x0l)
+    init = (jnp.zeros((), jnp.int32), x0h, x0l, z0h, z0l,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.asarray(False), jnp.asarray(False),
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    out = jax.lax.while_loop(cond, body, init)
+    (_k, xh, xl, _zh, _zl, lh, ll, _ini, converged, used, _done) = out
+    return xh, xl, lh, ll, used, converged
+
+
+def power_method_ds64(M, opts: SolverOptions = SolverOptions(), *,
+                      key=None, x0=None) -> EigenResult:
+    """Dominant eigenpair of a real banded ``SparseDIA`` operator at
+    double-precision-class accuracy, entirely on-chip: the reference
+    power loop (power_method.hpp:47-99, same stopping rule, breakdown
+    semantics, and k+1 iteration count) in two-float compensated
+    arithmetic (ops/ds64.py). The returned eigenvalue/eigenvector are
+    float64 (host-recombined hi+lo); accuracy vs a host f64 loop is
+    <= ~1e-12 relative (tests/test_ds64.py)."""
+    from ..matrix.dia import SparseDIA
+    from ..ops.ds64 import ds_from_f64, ds_to_f64
+    if not isinstance(M, SparseDIA):
+        raise ValueError("power_method_ds64: operator must be a SparseDIA")
+    require_square(M, "power_method_ds64")
+    require_nonempty(M, "power_method_ds64")
+    if np.dtype(M.dtype).kind == "c":
+        raise ValueError("power_method_ds64: real operators only")
+    n = M.shape[0]
+    data64 = np.asarray(M.data, np.float64)
+    dh, dl = ds_from_f64(data64)
+    if x0 is None:
+        x0 = random_unit_vector(key if key is not None else default_key(),
+                                n, np.float64)
+    xh, xl = ds_from_f64(np.asarray(x0, np.float64))
+    out = _power_loop_ds64(dh, dl, tuple(M.offsets), xh, xl,
+                           jnp.asarray(opts.max_iterations, jnp.int32),
+                           jnp.asarray(opts.tolerance, jnp.float32))
+    rxh, rxl, lh, ll, used, converged = jax.device_get(out)
+    return EigenResult(
+        eigenvalue=np.float64(lh) + np.float64(ll),
+        eigenvector=ds_to_f64(rxh, rxl),
+        iterations=np.int32(used),
+        converged=np.bool_(converged))
