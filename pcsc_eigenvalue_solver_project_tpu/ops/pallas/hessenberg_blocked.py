@@ -589,6 +589,53 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
     return out[:, :m, :m]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "slab_r",
+                                             "chunk"))
+def hessenberg_blocked_embedded(planes: jax.Array, n: jax.Array, *,
+                                interpret: bool = False,
+                                nb: int | None = None,
+                                slab_r: int | None = None,
+                                chunk: int | None = None):
+    """Complex Hessenberg reduction via the structure-preserving real
+    embedding (round 5, VERDICT task 2): builds A_e = [[Re, -Im],
+    [Im, Re]] (ONE real plane, 2nph x 2nph) and reduces it with COMPLEX
+    paired-column reflectors (_hess_panelA_emb_kernel), so the output is
+    exactly embed(complex Hessenberg) and the split planes feed the
+    native 2-plane AED sweep stack with no conjugation ambiguity — this
+    replaces the two full rotated-spectrum solves of
+    ``qr_aed._complex_via_real_embedding`` with ONE reduction at 2n.
+    The 1-plane kernels compile to np_ = 8192 (chunked), i.e. complex
+    n <= 4096 fully on-chip.
+
+    ``planes``: (2, m, m) f32 re/im. Returns (2, m, m) split planes of
+    the complex Hessenberg form (same similarity semantics as
+    ``hessenberg_blocked_planes`` on the 2-plane path)."""
+    n_planes, m, _ = planes.shape
+    if n_planes != 2:
+        raise ValueError("hessenberg_blocked_embedded: planes must be "
+                         "(2, m, m) re/im")
+    nph = max(_round_up(m, LANES), 2 * LANES)
+    np2 = 2 * nph
+    if nb is None:
+        nb = 32            # nbc = 16 complex columns per panel
+    if slab_r is None:
+        slab_r = 32
+    if chunk is None:
+        chunk = next(c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
+                     if nph % c == 0)
+    pr = jnp.pad(planes[0].astype(jnp.float32),
+                 ((0, nph - m), (0, nph - m)))
+    pi_ = jnp.pad(planes[1].astype(jnp.float32),
+                  ((0, nph - m), (0, nph - m)))
+    a_e = jnp.concatenate([
+        jnp.concatenate([pr, -pi_], axis=1),
+        jnp.concatenate([pi_, pr], axis=1)], axis=0)[None]
+    h, _ = _phase_split_reduce(
+        a_e, n, n_planes=1, np_=np2, nb=nb, slab_r=slab_r,
+        accumulate_q=False, interpret=interpret, chunk=chunk, emb=True)
+    return jnp.stack([h[0, :m, :m], h[0, nph:nph + m, :m]])
+
+
 # ---------------------------------------------------------------------------
 # Phase-split variant: one panel per kernel pair, for sizes where the
 # monolithic kernel's HIGHEST-precision matmul operand splits exceed the
@@ -896,13 +943,232 @@ def _hess_panelA_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, *rest,
                           0)
 
 
+def _hess_panelA_emb_kernel(scal_ref, h_hbm, V, Z, T, pan, slab, rowbuf,
+                            sems, *, np_: int, nb: int, slab_r: int,
+                            chunk: int):
+    """Phase A, complex-embedded mode (round 5, VERDICT task 2).
+
+    The matrix is the real embedding A_e = [[Re, -Im], [Im, Re]] of a
+    complex A, ONE plane of size np_ = 2 * nph. Reflectors are COMPLEX
+    (phase-correct sign, to_hessenberg.hpp:51-57) represented as PAIRED
+    embedded columns: complex reflector v -> V_e columns j = [vr; vi]
+    and nbc + j = [-vi; vr], with T_e = [[Tr, -Ti], [Ti, Tr]] (block
+    arrangement, nb = 2 * nbc).  Because embed is a *-algebra
+    homomorphism (embed(XY) = embed(X)embed(Y), embed(X^H) = embed(X)^T)
+    the compact-WY corrections and the ENTIRE trailing update (phases
+    B/C) are the unchanged real formulas on embedded operands — only the
+    reflector construction and the V/Z/T column writes are
+    complex-aware.  The transforms commute with J = [[0,-I],[I,0]], so
+    the reduction PRESERVES the embedding and the output is
+    embed(complex Hessenberg): the split planes feed the native 2-plane
+    AED sweep stack directly — no conjugation ambiguity, no second
+    solve (replaces _complex_via_real_embedding's rotated re-solve,
+    qr_aed.py).  The streamed matvec runs ONCE per complex column:
+    z_pair = A_e (J v_e) = J z by commutation, a swap-negate of halves.
+
+    Always chunked (embedded sizes start beyond the unchunked compile
+    ceiling); requires chunk | nph."""
+    nph = np_ // 2
+    nbc = nb // 2
+    k0 = scal_ref[0]          # complex column index of the panel start
+    n = scal_ref[1]           # complex live size
+    n_slabs = np_ // slab_r
+    n_ch = np_ // chunk
+    n_ch_h = nph // chunk
+    base = (k0 // LANES) * LANES
+    half = k0 - base
+    lane_np = jax.lax.broadcasted_iota(jnp.int32, (1, nph), 1)
+    lane_nbe = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    lane_nbc = jax.lax.broadcasted_iota(jnp.int32, (1, nbc), 1)
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    V[0] = jnp.zeros((np_, nb), jnp.float32)
+    Z[0] = jnp.zeros((np_, nb), jnp.float32)
+    T[0] = jnp.zeros((nb, nb), jnp.float32)
+
+    def _lane_ds(rc):
+        return pl.ds(pl.multiple_of(rc * chunk, LANES), chunk)
+
+    def _row_ds(rc):
+        return pl.ds(rc * chunk, chunk)
+
+    def slab_in(slot, si):
+        return pltpu.make_async_copy(
+            h_hbm.at[:, pl.ds(si * slab_r, slab_r), :],
+            slab.at[slot], sems.at[slot])
+
+    @pl.when(k0 < jnp.maximum(n - 2, 0))
+    def _():
+        pdma = pltpu.make_async_copy(
+            h_hbm.at[:, :, pl.ds(pl.multiple_of(base, LANES), LANES)],
+            pan, sems.at[2])
+        pdma.start()
+        pdma.wait()
+
+        def col_body(j, _c):
+            k = k0 + j
+            e_pan = ((jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                      == half + j)).astype(jnp.float32)
+            e_j = (lane_nbe == j).astype(jnp.float32)            # (1, nb)
+            e_pj = (lane_nbe == nbc + j).astype(jnp.float32)
+
+            # ---- embedded column k into rowbuf -------------------------
+            def ext_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = _rT(e_pan, pan[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, ext_step, 0)
+
+            # ---- compact-WY corrections: REAL formulas on embedded ----
+            def vrow_step(rc, acc):
+                ek_ch = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, chunk), 1) + rc * chunk
+                    == k).astype(jnp.float32)
+                return acc + _rM(ek_ch, V[0, _row_ds(rc), :])
+            vrow_r = jax.lax.fori_loop(0, n_ch, vrow_step,
+                                       jnp.zeros((1, nb), jnp.float32))
+            t1 = _rT(vrow_r, T[0])
+
+            def zt_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = rowbuf[:, _lane_ds(rc)] \
+                    - _rT(t1, Z[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, zt_step, 0)
+
+            def u_step(rc, acc):
+                return acc + _rM(rowbuf[:, _lane_ds(rc)],
+                                 V[0, _row_ds(rc), :])
+            u = jax.lax.fori_loop(0, n_ch, u_step,
+                                  jnp.zeros((1, nb), jnp.float32))
+            t3 = _rM(u, T[0])
+
+            def vt_step(rc, _):
+                rowbuf[:, _lane_ds(rc)] = rowbuf[:, _lane_ds(rc)] \
+                    - _rT(t3, V[0, _row_ds(rc), :])
+                return _
+            jax.lax.fori_loop(0, n_ch, vt_step, 0)
+
+            # ---- complex reflector from the lane halves ---------------
+            cr = rowbuf[:, 0:nph]
+            ci = rowbuf[:, nph:np_]
+            mask_tail = (lane_np >= k + 1).astype(jnp.float32)
+            xr = cr * mask_tail
+            xi = ci * mask_tail
+            norm_x = jnp.sqrt(jnp.sum(xr * xr) + jnp.sum(xi * xi))
+            mask_t2 = (lane_np >= k + 2).astype(jnp.float32)
+            tail_zero = (jnp.sum(cr * cr * mask_t2)
+                         + jnp.sum(ci * ci * mask_t2)) == 0.0
+            e_k1 = (lane_np == k + 1).astype(jnp.float32)
+            x0r = jnp.sum(cr * e_k1)
+            x0i = jnp.sum(ci * e_k1)
+            m0 = jnp.sqrt(x0r * x0r + x0i * x0i)
+            has0 = m0 > 0.0
+            m0s = jnp.where(has0, m0, one)
+            sgr = jnp.where(has0, x0r / m0s, one)
+            sgi = jnp.where(has0, x0i / m0s, zero)
+            vr = xr + sgr * norm_x * e_k1
+            vi = xi + sgi * norm_x * e_k1
+            vn2 = jnp.sum(vr * vr) + jnp.sum(vi * vi)
+            degenerate = vn2 == 0.0
+            vinv = jax.lax.rsqrt(jnp.where(degenerate, one, vn2))
+            tau = jnp.where(jnp.logical_or(tail_zero, degenerate),
+                            zero, 2.0 * one)
+            live = jnp.where(tau > 0, one, zero)
+            vr = vr * vinv * live
+            vi = vi * vinv * live
+
+            # ---- T update: real formula on embedded operands ----------
+            # m_e = V_e^T v_e  ==  embed rep of V_c^H v  (block columns)
+            rowbuf[:, 0:nph] = vr
+            rowbuf[:, nph:np_] = vi
+
+            def s_step(rc, acc):
+                return acc + _rM(rowbuf[:, _lane_ds(rc)],
+                                 V[0, _row_ds(rc), :])
+            s_e = jax.lax.fori_loop(0, n_ch, s_step,
+                                    jnp.zeros((1, nb), jnp.float32))
+            tc_e = -tau * _rT(s_e, T[0])            # embed rep of T_c m
+            tcr = tc_e[:, 0:nbc]
+            tci = tc_e[:, nbc:nb]
+            below = (lane_nbc < j).astype(jnp.float32)
+            diag_j = tau * (lane_nbc == j).astype(jnp.float32)
+            colj = jnp.concatenate([tcr * below + diag_j, tci * below],
+                                   axis=1)
+            colpj = jnp.concatenate([-tci * below, tcr * below + diag_j],
+                                    axis=1)
+            T[0] = T[0] + _outer(colj, e_j) + _outer(colpj, e_pj)
+
+            # ---- V columns j and nbc+j (paired) -----------------------
+            def vw_step(rc, _):
+                V[0, _row_ds(rc), :] = V[0, _row_ds(rc), :] \
+                    + _outer(rowbuf[:, _lane_ds(rc)], e_j)
+                return _
+            jax.lax.fori_loop(0, n_ch, vw_step, 0)
+
+            # ---- z_j = A_e v_e (streamed), then z_pair = J z ----------
+            def mv_slab(si, acc):
+                cur = si % 2
+
+                @pl.when(si + 1 < n_slabs)
+                def _():
+                    slab_in((si + 1) % 2, si + 1).start()
+                slab_in(cur, si).wait()
+                rows = pl.ds(si * slab_r, slab_r)
+                keep = 1.0 - e_j - e_pj
+
+                def mch(rc, acc2):
+                    return acc2 + _dot_nt(slab[cur, 0, :, _lane_ds(rc)],
+                                          rowbuf[:, _lane_ds(rc)])
+                z_s = jax.lax.fori_loop(
+                    0, n_ch, mch, jnp.zeros((slab_r, 1), jnp.float32))
+                Z[0, rows] = Z[0, rows] * keep + _dot(z_s, e_j)
+                return acc
+
+            slab_in(0, 0).start()
+            jax.lax.fori_loop(0, n_slabs, mv_slab, 0)
+
+            # paired column: rows [0, nph) get -z[nph:], rows [nph, 2nph)
+            # get +z[:nph]  (J z — no second matvec, B commutes with J)
+            ej_row = e_j
+
+            def pair_step(rc, _):
+                t_off = rc * chunk
+                src = jnp.where(t_off < nph, t_off + nph, t_off - nph)
+                sgn = jnp.where(t_off < nph, -one, one)
+                zc = _dot_nt(Z[0, pl.ds(pl.multiple_of(src, LANES), chunk),
+                               :], ej_row)                  # (chunk, 1)
+                Z[0, _row_ds(rc), :] = Z[0, _row_ds(rc), :] \
+                    + _dot(sgn * zc, e_pj)
+                return _
+            jax.lax.fori_loop(0, n_ch, pair_step, 0)
+
+            # rewrite rowbuf to the paired reflector and write V col nbc+j
+            rowbuf[:, 0:nph] = -vi
+            rowbuf[:, nph:np_] = vr
+
+            def vw2_step(rc, _):
+                V[0, _row_ds(rc), :] = V[0, _row_ds(rc), :] \
+                    + _outer(rowbuf[:, _lane_ds(rc)], e_pj)
+                return _
+            jax.lax.fori_loop(0, n_ch, vw2_step, 0)
+            return _c
+
+        nb_live = jnp.clip(n - 2 - k0, 0, nbc)
+        jax.lax.fori_loop(0, nb_live, col_body, 0)
+
+
 def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
                         *, n_planes: int, np_: int, nb: int, slab_r: int,
-                        chunk: int | None = None):
+                        chunk: int | None = None, emb: bool = False):
     """Phase B of one panel: the blocked trailing update
     A := (I - V T^H V^H)(A - (Z T) V^H) streamed over row slabs.
     ``chunk``: per-phase sub-splitting of the np_-operand matmuls (see
-    _hess_panelA_kernel docstring); 1-plane only."""
+    _hess_panelA_kernel docstring); 1-plane only.
+    ``emb``: complex-embedded mode (_hess_panelA_emb_kernel) — the GEMM
+    update is the unchanged real math (embed is a homomorphism); only
+    the exact-zero enforcement differs: an eliminated complex entry
+    H[i, k] = 0 zeroes embedded rows i (Re block) AND nph + i (Im
+    block), with k0/n counted in COMPLEX columns (nbc = nb // 2)."""
     k0 = scal_ref[0]
     n = scal_ref[1]
     two = n_planes == 2
@@ -1045,11 +1311,27 @@ def _hess_panelB_kernel(scal_ref, V, Z, T, h_in, h_ref, W, Y, slab, sems,
                 slab[cur, 0] = slab[cur, 0] - _dot_nt(Y[0, rows], V[0]) \
                     - _dot(V[0, rows], W[0])
             grow = si * slab_r + row_in_slab
-            in_panel = jnp.logical_and(
-                col_in_slab >= k0,
-                col_in_slab < jnp.minimum(k0 + nb, n - 2))
+            if emb:
+                nph = np_ // 2
+                nbc = nb // 2
+                # embedded column c < nph is complex column c; column
+                # nph + c is its mirror [-Im; Re] — both carry the
+                # eliminated zeros of complex column c
+                ccol = jnp.where(col_in_slab >= nph,
+                                 col_in_slab - nph, col_in_slab)
+                in_panel = jnp.logical_and(
+                    ccol >= k0,
+                    ccol < jnp.minimum(k0 + nbc, n - 2))
+                below = jnp.logical_or(
+                    jnp.logical_and(grow >= ccol + 2, grow < nph),
+                    grow >= nph + ccol + 2)
+            else:
+                in_panel = jnp.logical_and(
+                    col_in_slab >= k0,
+                    col_in_slab < jnp.minimum(k0 + nb, n - 2))
+                below = grow >= col_in_slab + 2
             keep_z = jnp.logical_not(jnp.logical_and(
-                in_panel, grow >= col_in_slab + 2)).astype(jnp.float32)
+                in_panel, below)).astype(jnp.float32)
             slab[cur, 0] = slab[cur, 0] * keep_z
             if two:
                 slab[cur, 1] = slab[cur, 1] * keep_z
@@ -1165,16 +1447,24 @@ def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
                         np_: int, nb: int, slab_r: int,
                         accumulate_q: bool, interpret: bool,
                         q0: jax.Array | None = None,
-                        chunk: int | None = None):
+                        chunk: int | None = None,
+                        emb: bool = False):
     """fori over panels, two (three with Q) pallas_calls per panel.
     ``chunk``: per-phase sub-splitting of np_-operand matmuls (1-plane
     only) — the round-5 mitigation that lifts the real path past the
-    np_ = 4096 cumulative-split compile ceiling."""
-    n_panels = np_ // nb
+    np_ = 4096 cumulative-split compile ceiling.
+    ``emb``: complex-embedded mode — 1-plane np_ = 2 * nph embedding
+    with complex paired-column reflectors (_hess_panelA_emb_kernel);
+    the panel loop counts COMPLEX columns (nbc = nb // 2 per panel) and
+    ``n`` is the complex live size."""
+    n_panels = (np_ // 2) // (nb // 2) if emb else np_ // nb
+    if emb and chunk is None:
+        raise ValueError("embedded phase-split requires chunk")
     if chunk is not None:
         if n_planes != 1:
             raise ValueError("chunked phase-split is 1-plane (real) only")
-        if chunk % LANES != 0 or np_ % chunk != 0:
+        if chunk % LANES != 0 or np_ % chunk != 0 or \
+                (emb and (np_ // 2) % chunk != 0):
             raise ValueError(
                 f"chunk ({chunk}) must be a multiple of {LANES} dividing "
                 f"the padded size ({np_})")
@@ -1192,20 +1482,33 @@ def _phase_split_reduce(p: jax.Array, n: jax.Array, *, n_planes: int,
 
     def body(pi, carry):
         h, q = carry
-        scal = jnp.stack([(pi * nb).astype(jnp.int32),
+        scal = jnp.stack([(pi * (nb // 2 if emb else nb)).astype(jnp.int32),
                           jnp.asarray(n, jnp.int32)])
-        V, Z, T = pl.pallas_call(
-            functools.partial(_hess_panelA_kernel, n_planes=n_planes,
-                              np_=np_, nb=nb, slab_r=slab_r, chunk=chunk),
-            out_shape=shapes_vzt,
-            in_specs=[smem, hbm],
-            out_specs=(vmem, vmem, vmem),
-            scratch_shapes=a_scratch + sc_vec,
-            interpret=interpret,
-        )(scal, h)
+        if emb:
+            V, Z, T = pl.pallas_call(
+                functools.partial(_hess_panelA_emb_kernel, np_=np_, nb=nb,
+                                  slab_r=slab_r, chunk=chunk),
+                out_shape=shapes_vzt,
+                in_specs=[smem, hbm],
+                out_specs=(vmem, vmem, vmem),
+                scratch_shapes=a_scratch + sc_vec,
+                interpret=interpret,
+            )(scal, h)
+        else:
+            V, Z, T = pl.pallas_call(
+                functools.partial(_hess_panelA_kernel, n_planes=n_planes,
+                                  np_=np_, nb=nb, slab_r=slab_r,
+                                  chunk=chunk),
+                out_shape=shapes_vzt,
+                in_specs=[smem, hbm],
+                out_specs=(vmem, vmem, vmem),
+                scratch_shapes=a_scratch + sc_vec,
+                interpret=interpret,
+            )(scal, h)
         h = pl.pallas_call(
             functools.partial(_hess_panelB_kernel, n_planes=n_planes,
-                              np_=np_, nb=nb, slab_r=slab_r, chunk=chunk),
+                              np_=np_, nb=nb, slab_r=slab_r, chunk=chunk,
+                              emb=emb),
             out_shape=jax.ShapeDtypeStruct(h.shape, jnp.float32),
             in_specs=[smem, vmem, vmem, vmem, hbm],
             out_specs=hbm,

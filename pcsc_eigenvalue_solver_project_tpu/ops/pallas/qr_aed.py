@@ -219,6 +219,44 @@ def _aed_sweep_round(p: jax.Array, hi: jax.Array, n: jax.Array,
     return p, eig, sweeps, hi2, d, hi_w
 
 
+@functools.partial(jax.jit, static_argnames=("w", "interpret"),
+                   donate_argnums=(0,))
+def _aed_sweep_round2(p: jax.Array, hi: jax.Array, n: jax.Array,
+                      budget: jax.Array, tol: jax.Array, *, w: int,
+                      interpret: bool = False):
+    """Megakernel round (round-5, VERDICT task 3): TWO fused
+    (AED + sweep-batch) rounds per dispatch — the second AED reads the
+    post-sweep ``hi`` from the first ON DEVICE, so the ~30 ms tunnel
+    dispatch plus the host round-trip is paid once per two rounds.
+    Used while the active window is deep (hi >> w); the tail keeps the
+    single-round driver so the host can shrink w. Returns the same
+    tuple as ``_aed_sweep_round`` with sweeps/deflations summed."""
+    p, d1, hw1, shifts, ns = _aed_round_core(p, hi, tol, w=w,
+                                             interpret=interpret)
+    p, eig, sw1, hi2 = _step_pallas(p, n, budget, tol, shifts, ns,
+                                    interpret=interpret)
+
+    # the AED core requires hi >= w + 2 (window start leaves a spike
+    # column); after the first sweep batch hi2 may have collapsed below
+    # that — guard the second round on device instead of syncing
+    def second(args):
+        p, eig, hi2 = args
+        p2, d2, hw2, shifts2, ns2 = _aed_round_core(p, hi2, tol, w=w,
+                                                    interpret=interpret)
+        p2, eig2, sw2, hi3 = _step_pallas(p2, n, budget, tol, shifts2,
+                                          ns2, interpret=interpret)
+        return p2, eig2, sw2, hi3, d2, hw2
+
+    def skip(args):
+        p, eig, hi2 = args
+        return (p, eig, jnp.zeros((), jnp.int32), hi2,
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    p, eig, sw2, hi3, d2, hw2 = jax.lax.cond(
+        hi2 >= w + 2, second, skip, (p, eig, hi2))
+    return p, eig, sw1 + sw2, hi3, d1 + d2, hw2
+
+
 def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
                               max_sweeps: int, tol: float, *,
                               w: int = 256, sweeps_per_round: int = 96,
@@ -258,16 +296,20 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
             hi = int(hi_j)
             break
         budget = min(cur_s, max_sweeps - total)
-        p, eig, sweeps, hi_j, d, hi_w = _aed_sweep_round(
+        # deep window: two fused (AED + sweeps) rounds per dispatch —
+        # one ~30 ms tunnel sync instead of two (round-5 megakernel)
+        double = hi >= 2 * w_eff + 2 and 2 * budget <= max_sweeps - total
+        rnd = _aed_sweep_round2 if double else _aed_sweep_round
+        p, eig, sweeps, hi_j, d, hi_w = rnd(
             p, jnp.asarray(hi, jnp.int32), nv,
             jnp.asarray(budget, jnp.int32), tolv, w=w_eff,
             interpret=interpret)
         total += int(sweeps)
         new_hi = int(hi_j)
         if log is not None:
-            log(f"aed(w={w_eff}, S={cur_s}): hi {hi}->{new_hi} (aed "
-                f"deflated {int(d)}, window hi_w={int(hi_w)}), "
-                f"sweeps={total}")
+            log(f"aed(w={w_eff}, S={cur_s}{', x2' if double else ''}): "
+                f"hi {hi}->{new_hi} (aed deflated {int(d)}, window "
+                f"hi_w={int(hi_w)}), sweeps={total}")
         # Fixed sweep batches measured best on-chip: harvest-adaptive S
         # (grow on poor rounds, shrink on rich ones) was tried and LOST
         # ~2x — rich harvests cluster late, so shrinking S there just
@@ -322,7 +364,15 @@ def _complex_via_real_embedding(planes, n, max_sweeps, tol, *, w,
     (a plane rotation; its embedding is equally real) breaks the
     symmetry: for each canonical pair representative c, exactly one of
     {e^{i theta} c, e^{i theta} conj(c)} appears in the rotated
-    spectrum, identifying lam = c or conj(c)."""
+    spectrum, identifying lam = c or conj(c).
+
+    FALLBACK PATH ONLY (round 5): the main complex path is now the
+    structure-preserving ``hessenberg_blocked_embedded`` + native
+    2-plane sweeps, which has no conjugation ambiguity. Known limit of
+    THIS fallback (round-4 advisor): the greedy nearest-neighbor pair
+    matching can mis-assign when inter-eigenvalue spacing is comparable
+    to the f32 solver error (clustered spectra), silently flipping an
+    imaginary-part sign; do not route clustered complex inputs here."""
     theta = 0.7321
     ct, st = np.cos(theta), np.sin(theta)
 
@@ -420,16 +470,30 @@ def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,
     in-VMEM AED rounds. Same return contract as
     ``qr_eig_blocked.qr_eigenvalues_pallas_blocked`` (eigenvalues
     complex64, sweeps, converged)."""
-    from .hessenberg_blocked import hessenberg_blocked_planes
+    from .hessenberg_blocked import (hessenberg_blocked_embedded,
+                                     hessenberg_blocked_planes)
     from .qr_kernels import split_planes_f32
     n = a.shape[0]
     planes = split_planes_f32(a)
     if planes.shape[0] == 2 and n > _COMPLEX_BLOCKED_MAX_N \
             and not interpret:
-        return _complex_via_real_embedding(
-            planes, n, max_sweeps, tol, w=w,
+        # round 5: ONE structure-preserving embedded reduction (complex
+        # paired-column reflectors on the real 2n x 2n embedding) gives
+        # the native complex Hessenberg; the 2-plane AED sweep stack
+        # (np_-independent operands, compiles at any size the real path
+        # does) then solves it directly — replaces the former TWO full
+        # rotated-spectrum solves of _complex_via_real_embedding (kept
+        # below as a documented fallback), halving the big-n complex
+        # cost and removing the conjugation-matching ambiguity the
+        # round-4 advisor flagged.
+        h = hessenberg_blocked_embedded(planes, n, interpret=interpret)
+        eig, sweeps, hi = qr_eig_blocked_aed_planes(
+            h, n, max_sweeps, tol, w=w,
             sweeps_per_round=sweeps_per_round, log=log,
             interpret=interpret)
+        e = np.asarray(jax.device_get(eig))
+        return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
+                int(sweeps), bool(int(hi) <= 1))
     h = hessenberg_blocked_planes(planes, n, interpret=interpret)
     if h.shape[0] == 1:
         h = jnp.concatenate([h, jnp.zeros_like(h)])

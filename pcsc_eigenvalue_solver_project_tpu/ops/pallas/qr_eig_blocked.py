@@ -695,14 +695,16 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
     return eig[:, 0, :m], stat[0], stat[1]
 
 
-# Schur-driver crossover for compute_vectors (round-5 measurement, see
-# docs/PERF_NOTES.md): at 2048 the monolithic whole-solve kernel beats the
-# Schur-mode AED driver (5.6 s vs 6.9 s — Q-carrying sweeps shrink the AED
-# saving and ~23 round syncs at ~30 ms eat the rest), but the monolithic
-# kernel's sweep count grows ~quadratically with n while AED's grows
-# ~linearly, so AED wins at 4096. Dispatch is pinned by
+# Schur-driver crossover for compute_vectors (round-5 measurements, see
+# docs/PERF_NOTES.md): the monolithic whole-solve kernel beats the
+# Schur-mode AED driver at 2048 (5.6 s vs 6.9 s) AND at 4096 (28.2 s vs
+# 31.4 s) — Q-carrying sweeps shrink the AED sweep saving and the
+# per-round syncs/strip GEMMs eat the rest, so the predicted 4096
+# crossover did NOT materialize. The AED driver's ~linear sweep growth
+# should still win once the monolithic sweep count doubles again;
+# dispatch flips at 8192 (measured, PERF_NOTES round-5 table). Pinned by
 # tests/test_qr_aed.py::test_schur_driver_dispatch.
-_SCHUR_AED_MIN_N = 3072
+_SCHUR_AED_MIN_N = 8192
 
 
 def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,

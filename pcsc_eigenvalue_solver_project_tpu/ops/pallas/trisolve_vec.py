@@ -71,23 +71,35 @@ def _dotg(a, b):
 
 def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
                      cnt_ref, tstrip, racc, yblk, ytile, ccur, sems, *,
-                     np_: int):
+                     np_: int, nsplit: int = 1):
+    """``nsplit`` (round 5): eigenvector COLUMNS are independent, so the
+    kernel runs as a grid of ``nsplit`` programs each solving an
+    ``np_ / nsplit``-column slice — the per-column state buffers (racc,
+    yblk, ytile, ccur) shrink by the split while the shared T strip
+    stays full width. This keeps the scoped-vmem stack under the 16 MB
+    cap at np_ >= 4096 (18.2 MB unsplit)."""
     n = scal_i_ref[0]
     eps = scal_f_ref[0]
     nblk = (n + LANES - 1) // LANES
     nblk_s = np_ // LANES
+    ncols = np_ // nsplit
+    col0 = pl.program_id(0) * ncols if nsplit > 1 else 0
     del y_in  # aliased with y_hbm (zero-initialized: rows not yet
     #           written must read as exact zeros, not HBM garbage)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) + col0
     lane_jc = jax.lax.broadcasted_iota(jnp.int32, (1, _JC), 1)
     sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     row128 = jax.lax.broadcasted_iota(jnp.int32, (_PR, 1), 0)
     rowblk = jax.lax.broadcasted_iota(jnp.int32, (nblk_s, 1), 0)
     one = jnp.ones((), jnp.float32)
 
-    cnt_ref[...] = jnp.zeros((nblk_s, np_), jnp.float32)
-    ccur[...] = jnp.zeros((1, np_), jnp.float32)
+    def cds():
+        return pl.ds(pl.multiple_of(col0, LANES), ncols)
+
+    cnt_ref[:, cds()] = jnp.zeros((nblk_s, ncols), jnp.float32)
+    ccur[...] = jnp.zeros((1, ncols), jnp.float32)
 
     def blk_body(bb, _c):
         bi = nblk - 1 - bb            # bottom-up
@@ -97,8 +109,8 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
         # read rows [128, 144) through masks, and 0 * NaN = NaN
         for p in range(2):
             tstrip[p] = jnp.zeros((_PR, np_), jnp.float32)
-            racc[p] = jnp.zeros((_PR, np_), jnp.float32)
-            yblk[p] = jnp.zeros((_PR, np_), jnp.float32)
+            racc[p] = jnp.zeros((_PR, ncols), jnp.float32)
+            yblk[p] = jnp.zeros((_PR, ncols), jnp.float32)
 
         # T row strip [b1, b1+128) x [0, np_)
         d = pltpu.make_async_copy(
@@ -114,7 +126,7 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
         # exact zeros by the aliased zero initialization.
         j0a = ((b1 + LANES) // _JC) * _JC
         njc = (np_ - j0a) // _JC
-        ncc = np_ // _CC
+        ncc = ncols // _CC
 
         def jc_body(jc, _s):
             j0 = j0a + jc * _JC
@@ -130,9 +142,10 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
                               pl.ds(pl.multiple_of(j0, _JC), _JC)] * tmask
 
                 def cc_body(cc, _t):
+                    gcc = pl.multiple_of(col0 + cc * _CC, _CC)
                     dy = pltpu.make_async_copy(
                         y_hbm.at[:, pl.ds(pl.multiple_of(j0, _JC), _JC),
-                                 pl.ds(pl.multiple_of(cc * _CC, _CC), _CC)],
+                                 pl.ds(gcc, _CC)],
                         ytile, sems.at[1])
                     dy.start()
                     dy.wait()
@@ -140,7 +153,7 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
                     # scale) to the CURRENT scale: x _R^(ccur - cnt[b'])
                     ccs = pl.multiple_of(cc * _CC, _CC)
                     cur_s = ccur[:, pl.ds(ccs, _CC)]
-                    cnt_w = cnt_ref[:, pl.ds(ccs, _CC)]
+                    cnt_w = cnt_ref[:, pl.ds(gcc, _CC)]
                     for sbt in range(_JC // LANES):
                         br = j0 // LANES + sbt
                         mbr = (rowblk == br).astype(jnp.float32)
@@ -189,8 +202,8 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
                                       * mrow, 0, keepdims=True) * ohg)
                 d_i = jnp.sum(jnp.sum(tstrip[1, pl.ds(base16, 16), :]
                                       * mrow, 0, keepdims=True) * ohg)
-                den_r = d_r - lam_ref[0]
-                den_i = d_i - lam_ref[1]
+                den_r = d_r - lam_ref[0, :, cds()]
+                den_i = d_i - lam_ref[1, :, cds()]
                 dd = den_r * den_r + den_i * den_i
                 small = dd < eps * eps
                 den_r = jnp.where(small, eps, den_r)
@@ -198,11 +211,11 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
                 dd = den_r * den_r + den_i * den_i
                 dd = jnp.where(dd == 0.0, one, dd)
                 # y_i = -r_i / den, valid for k > gi (and k < n)
-                vmask = jnp.logical_and(lane > gi, lane < n) \
+                vmask = jnp.logical_and(lane_c > gi, lane_c < n) \
                     .astype(jnp.float32)
                 y_r = -(r_r * den_r + r_i * den_i) / dd * vmask
                 y_i = -(r_i * den_r - r_r * den_i) / dd * vmask
-                y_r = y_r + ohg          # y[gi, gi] = 1
+                y_r = y_r + (lane_c == gi).astype(jnp.float32)  # y[gi,gi]=1
 
                 # overflow guard: rescale the column's whole state when a
                 # new entry crosses _BIG (rare -> conditional; see module
@@ -212,7 +225,7 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
 
                 @pl.when(jnp.sum(trig) > 0.0)
                 def _():
-                    fct = jnp.where(trig > 0.0, _R, 1.0)   # (1, np_)
+                    fct = jnp.where(trig > 0.0, _R, 1.0)   # (1, ncols)
                     for pp in range(2):
                         yblk[pp] = yblk[pp] * fct
                         racc[pp] = racc[pp] * fct
@@ -244,11 +257,12 @@ def _trisolve_kernel(scal_i_ref, scal_f_ref, t_hbm, lam_ref, y_in, y_hbm,
         # record this block's scale count (rows of y_hbm written below
         # carry cnt[b'] events; this block's rows carry ccur)
         mrowb = (rowblk == bi).astype(jnp.float32)
-        cnt_ref[...] = cnt_ref[...] * (1.0 - mrowb) + mrowb * ccur[...]
+        cnt_ref[:, cds()] = cnt_ref[:, cds()] * (1.0 - mrowb) \
+            + mrowb * ccur[...]
 
         dw = pltpu.make_async_copy(
             yblk.at[:, pl.ds(0, LANES), :],
-            y_hbm.at[:, pl.ds(pl.multiple_of(b1, LANES), LANES), :],
+            y_hbm.at[:, pl.ds(pl.multiple_of(b1, LANES), LANES), cds()],
             sems.at[2])
         dw.start()
         dw.wait()
@@ -278,8 +292,21 @@ def triangular_eigenvectors_planes(t_planes: jax.Array, n: jax.Array,
                   ((0, 0), (0, np_ - m))).reshape(2, 1, np_)
     y0 = jnp.zeros((2, np_, np_), jnp.float32)
     nblk_s = np_ // LANES
+    # column split (round 5): the three (2, _PR, ncols) state buffers
+    # must fit the 16 MB scoped-vmem cap next to the full-width T strip
+    # (18.2 MB unsplit at np_ = 4096) — eigenvector columns are
+    # independent, so grid programs each solve a column slice
+    def _bufbytes(nc):
+        return (2 * _PR * np_ + 4 * _PR * nc + 2 * _JC * _CC + nc) * 4
+
+    nsplit = 1
+    while _bufbytes(np_ // nsplit) > (11 << 20) \
+            and (np_ // (2 * nsplit)) % _CC == 0:
+        nsplit *= 2
+    ncols = np_ // nsplit
     y, cnt = pl.pallas_call(
-        functools.partial(_trisolve_kernel, np_=np_),
+        functools.partial(_trisolve_kernel, np_=np_, nsplit=nsplit),
+        grid=(nsplit,),
         out_shape=(jax.ShapeDtypeStruct((2, np_, np_), jnp.float32),
                    jax.ShapeDtypeStruct((nblk_s, np_), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -291,11 +318,11 @@ def triangular_eigenvectors_planes(t_planes: jax.Array, n: jax.Array,
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         input_output_aliases={4: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, _PR, np_), jnp.float32),   # tstrip
-            pltpu.VMEM((2, _PR, np_), jnp.float32),   # racc
-            pltpu.VMEM((2, _PR, np_), jnp.float32),   # yblk
-            pltpu.VMEM((2, _JC, _CC), jnp.float32),     # ytile
-            pltpu.VMEM((1, np_), jnp.float32),          # ccur
+            pltpu.VMEM((2, _PR, np_), jnp.float32),    # tstrip
+            pltpu.VMEM((2, _PR, ncols), jnp.float32),  # racc
+            pltpu.VMEM((2, _PR, ncols), jnp.float32),  # yblk
+            pltpu.VMEM((2, _JC, _CC), jnp.float32),    # ytile
+            pltpu.VMEM((1, ncols), jnp.float32),       # ccur
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

@@ -149,3 +149,83 @@ def test_aed_schur_mode_invariant():
     ref = np.linalg.eigvals(a.astype(np.complex128))
     e = np.asarray(eig)
     assert _nn_eig_err(ref, (e[0] + 1j * e[1])[:n]) < 5e-4
+
+
+def test_schur_driver_dispatch(monkeypatch):
+    """compute_vectors picks the Schur-mode AED driver at n >=
+    _SCHUR_AED_MIN_N and the monolithic kernel below (the measured
+    round-5 crossover) — pinned so the dispatch cannot silently regress;
+    explicit schur_driver= overrides."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas import (qr_aed,
+                                                              qr_eig_blocked)
+    calls = []
+
+    def fake_aed(h, n, ms, tol, **kw):
+        calls.append("aed")
+        raise RuntimeError("probe")
+
+    def fake_mono(h, n, ms, tol, **kw):
+        calls.append("mono")
+        raise RuntimeError("probe")
+
+    monkeypatch.setattr(qr_aed, "qr_eig_blocked_aed_schur_planes", fake_aed)
+    monkeypatch.setattr(qr_eig_blocked, "qr_eig_blocked_planes", fake_mono)
+    monkeypatch.setattr(qr_eig_blocked, "hessenberg_blocked_planes",
+                        lambda p, n, **kw: (p, p),
+                        raising=False)
+    import pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        as hb
+    monkeypatch.setattr(hb, "hessenberg_blocked_planes",
+                        lambda p, n, **kw: (p, p))
+
+    lo = np.zeros((qr_eig_blocked._SCHUR_AED_MIN_N - 1,) * 2, np.float32)
+    hi_ = np.zeros((qr_eig_blocked._SCHUR_AED_MIN_N,) * 2, np.float32)
+    for a, want in ((lo, "mono"), (hi_, "aed")):
+        calls.clear()
+        with pytest.raises(RuntimeError):
+            qr_eig_blocked.qr_eigenvalues_pallas_blocked(
+                a, 10, 1e-5, compute_vectors=True)
+        assert calls == [want]
+    # explicit override wins at any size
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        qr_eig_blocked.qr_eigenvalues_pallas_blocked(
+            lo, 10, 1e-5, compute_vectors=True, schur_driver="aed")
+    assert calls == ["aed"]
+    with pytest.raises(ValueError):
+        qr_eig_blocked.qr_eigenvalues_pallas_blocked(
+            lo, 10, 1e-5, compute_vectors=True, schur_driver="bogus")
+
+
+def test_complex_embedded_full_path_interpret():
+    """Round-5: embedded Hessenberg + native 2-plane AED sweeps — the
+    big-n complex path with no second solve and no conjugation
+    ambiguity. Full spectrum of a complex operator WITH conjugate pairs
+    (real submatrix) must match numpy including imaginary-part signs."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        import hessenberg_blocked_embedded
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+        qr_eig_blocked_aed_planes)
+    rng = np.random.default_rng(11)
+    n = 160
+    a = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex64) / np.sqrt(n)
+    # plant a REAL 2x2 rotation block so both lam and conj(lam) appear —
+    # the case the old rotated-respectrum fallback needed a 2nd solve for
+    a[:2, :] = 0; a[:, :2] = 0
+    a[0, 0] = a[1, 1] = 0.5
+    a[0, 1], a[1, 0] = 0.8, -0.8
+    planes = jnp.asarray(np.stack([a.real, a.imag]).astype(np.float32))
+    h = hessenberg_blocked_embedded(planes, n, interpret=True, chunk=128)
+    eig, sweeps, hi = qr_eig_blocked_aed_planes(
+        h, n, 40 * n, 3e-6, w=64, sweeps_per_round=16, interpret=True)
+    assert hi <= 1
+    e = np.asarray(eig)
+    got = (e[0] + 1j * e[1])[:n]
+    ref = np.linalg.eigvals(a.astype(np.complex128))
+    assert _nn_eig_err(ref, got) < 5e-4
+    # signed-imag check: the planted pair 0.5 +- 0.8i must appear with
+    # BOTH signs (nearest-match error alone would not catch a flip)
+    d_plus = np.abs(got - (0.5 + 0.8j)).min()
+    d_minus = np.abs(got - (0.5 - 0.8j)).min()
+    assert d_plus < 1e-3 and d_minus < 1e-3

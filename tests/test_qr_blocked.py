@@ -234,3 +234,41 @@ def test_phase_split_chunk_validation():
         hessenberg_blocked_planes(
             jnp.zeros((2, 300, 300), jnp.float32), 300, interpret=True,
             phase_split=True, chunk=128)   # 2-plane unsupported
+
+
+def test_embedded_hessenberg_structure_and_spectrum():
+    """Round-5 complex path: the structure-preserving embedded reduction
+    (complex paired-column reflectors on the real 2n x 2n embedding,
+    hessenberg_blocked_embedded) produces exactly the complex Hessenberg
+    planes — exact structure, spectrum preserved, consistent with the
+    2-plane blocked path up to f32 reassociation of the reflector
+    chain."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        import hessenberg_blocked_embedded
+    rng = np.random.default_rng(7)
+    n = 200
+    a = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex64) / np.sqrt(n)
+    planes = jnp.asarray(np.stack([a.real, a.imag]).astype(np.float32))
+    h = np.asarray(hessenberg_blocked_embedded(planes, n, interpret=True,
+                                               chunk=128))
+    H = h[0] + 1j * h[1]
+    assert np.abs(np.tril(H, -2)).max() == 0.0
+    err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
+                      np.linalg.eigvals(H.astype(np.complex128)))
+    assert err < 5e-5 * n
+
+
+def test_embedded_hessenberg_real_input_reduces_to_real():
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        import hessenberg_blocked_embedded
+    rng = np.random.default_rng(8)
+    n = 150
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    planes = jnp.asarray(np.stack([a, np.zeros_like(a)]))
+    h = np.asarray(hessenberg_blocked_embedded(planes, n, interpret=True,
+                                               chunk=128))
+    assert np.abs(h[1]).max() < 1e-5          # imaginary plane stays zero
+    err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
+                      np.linalg.eigvals(h[0].astype(np.complex128)))
+    assert err < 5e-5 * n
