@@ -497,6 +497,46 @@ def bench_qr(n: int, verbose: bool):
             "sweeps": int(sweeps_a), "err": float(err_a)}
 
 
+def bench_qr_c64(n: int, verbose: bool):
+    """Complex full-spectrum wall-clock — the reference demo's home
+    dtype (main.cpp:42 runs complex<double>). Round 5: ONE
+    structure-preserving embedded Hessenberg + native 2-plane AED
+    sweeps (ops/pallas/hessenberg_blocked.py::hessenberg_blocked_embedded)
+    replaces the two rotated-spectrum solves — measured 15.5 s at 2048
+    vs 24.6 s in round 4. Error is nearest-neighbor matched
+    (sort-based pairing is brittle for 2-D eigenvalue clouds) with the
+    match checked to be 1:1."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_aed import (
+        qr_eigenvalues_pallas_blocked_aed)
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(0)
+    d = rng.uniform(1.0, 2.0, n) * np.exp(1j * rng.uniform(0, 2 * np.pi, n))
+    Qo, _ = np.linalg.qr(rng.standard_normal((n, n))
+                         + 1j * rng.standard_normal((n, n)))
+    a = ((Qo * d) @ Qo.conj().T).astype(np.complex64)
+    tol = 3e-6
+    _ = qr_eigenvalues_pallas_blocked_aed(a, 40 * n, tol)   # compile
+    best, eig, sweeps, conv = 1e30, None, 0, False
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        eig, sweeps, conv = qr_eigenvalues_pallas_blocked_aed(a, 40 * n, tol)
+        best = min(best, time.perf_counter() - t0)
+    tree = cKDTree(np.c_[d.real, d.imag])
+    dist, idx = tree.query(np.c_[eig.real, eig.imag])
+    counts = np.bincount(idx, minlength=n)
+    ok_match = bool(counts.max() == 1) and bool((counts == 0).sum() == 0)
+    t0 = time.perf_counter()
+    _ = np.linalg.eigvals(a)
+    lw = time.perf_counter() - t0
+    if verbose:
+        print(f"# qr c64 {n}: on-chip {best:.2f}s ({sweeps} sweeps, "
+              f"conv={conv}, nn_err={dist.max():.1e}, 1:1={ok_match}) | "
+              f"host LAPACK zgeev-class {lw:.2f}s", file=sys.stderr)
+    return dict(wall=best, converged=bool(conv) and ok_match,
+                err=float(dist.max()), sweeps=int(sweeps), host_wall=lw)
+
+
 def bench_eigvec(n: int, verbose: bool):
     """Full-eigenpair wall-clock: on-chip Schur (blocked kernels with Q
     accumulation) + Pallas triangular back-substitution + device
@@ -641,8 +681,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--suite", default="spmv",
-                    choices=["spmv", "qr", "block", "complex", "general",
-                             "gmres", "eigvec", "auto", "ds64"])
+                    choices=["spmv", "qr", "qr_c64", "block", "complex",
+                             "general", "gmres", "eigvec", "auto", "ds64"])
     ap.add_argument("--pattern", default="uniform",
                     choices=["uniform", "local"])
     ap.add_argument("--nvec", type=int, default=8)
@@ -751,6 +791,20 @@ def main():
             "eig_err": round(r["err"], 12),
             "eigpair_residual": round(r["resid"], 12),
             "iterations": r["iters"],
+            "converged": r["converged"],
+        })
+        return
+    if args.suite == "qr_c64":
+        r = bench_qr_c64(args.qr_n, verbose=not args.json_only)
+        _emit_and_cache({
+            "metric": f"qr_eigenvalues_c64_wallclock_{args.qr_n}",
+            "value": round(r["wall"], 4),
+            "unit": "s",
+            "vs_baseline": round(r["host_wall"] / r["wall"], 3)
+            if r["converged"] else 0.0,
+            "baseline": "host_lapack_eigvals_same_complex_matrix",
+            "sweeps": r["sweeps"],
+            "nn_eig_err": r["err"],
             "converged": r["converged"],
         })
         return

@@ -296,9 +296,16 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
             hi = int(hi_j)
             break
         budget = min(cur_s, max_sweeps - total)
-        # deep window: two fused (AED + sweeps) rounds per dispatch —
-        # one ~30 ms tunnel sync instead of two (round-5 megakernel)
-        double = hi >= 2 * w_eff + 2 and 2 * budget <= max_sweeps - total
+        # The double-round megakernel (_aed_sweep_round2) was measured a
+        # ~3x REGRESSION at 2048 (10.6 s vs 3.3-4.1): the lax.cond guard
+        # around the second round defeats the donate/alias chain, so the
+        # (2, np+512, np+512) planes get copied every round. Kept only
+        # behind the env flag for future experiments; single fused
+        # rounds remain the shipped driver.
+        import os
+        double = (os.environ.get("EIGSOL_AED_DOUBLE_ROUND") == "1"
+                  and hi >= 2 * w_eff + 2
+                  and 2 * budget <= max_sweeps - total)
         rnd = _aed_sweep_round2 if double else _aed_sweep_round
         p, eig, sweeps, hi_j, d, hi_w = rnd(
             p, jnp.asarray(hi, jnp.int32), nv,

@@ -603,6 +603,15 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
 
     Dense-only like the reference (qr_eigenvalues.hpp:131-133); ``dtype``
     asserts the stored scalar type (TypeError on mismatch, :135-138).
+
+    Complex accelerated path beyond n = 1024 (round 5): the
+    structure-preserving embedded Hessenberg + native 2-plane sweeps —
+    each eigenvalue's imaginary-part sign comes directly from the
+    complex reduction (no conjugation matching). Only the legacy
+    rotated-respectrum FALLBACK (qr_aed._complex_via_real_embedding,
+    not used by default) has the cluster-resolution limit the round-4
+    advisor noted: its greedy conjugate pairing can mis-assign when
+    eigenvalue spacing is comparable to the f32 solver error.
     """
     if not M.is_dense:
         raise ValueError("qr_eigenvalues: only dense matrices are supported")
