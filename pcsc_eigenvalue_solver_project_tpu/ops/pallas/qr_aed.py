@@ -257,6 +257,44 @@ def _aed_sweep_round2(p: jax.Array, hi: jax.Array, n: jax.Array,
     return p, eig, sw1 + sw2, hi3, d1 + d2, hw2
 
 
+@functools.partial(jax.jit, static_argnames=("w", "interpret"),
+                   donate_argnums=(0,))
+def _aed_deep_phase(p: jax.Array, hi: jax.Array, n: jax.Array,
+                    budget: jax.Array, max_total: jax.Array,
+                    max_rounds: jax.Array, tol: jax.Array, *, w: int,
+                    interpret: bool = False):
+    """Round-5 deep-phase driver: the WHOLE sequence of (AED round +
+    sweep batch) iterations while the active window stays deep
+    (hi >= w + 2) runs as ONE jitted ``lax.while_loop`` — one ~30 ms
+    tunnel dispatch for what the host loop paid per round. The loop
+    condition IS the AED core's precondition, so no ``lax.cond`` is
+    needed (a cond-guarded second round was measured to defeat buffer
+    donation and copy the planes every round — PERF_NOTES round 5).
+    ``max_rounds`` bounds the loop when sweeps stop advancing (budget
+    exhaustion mid-round). Returns ``(p', eig, total_sweeps, hi')``."""
+    eig0 = jnp.zeros((2, 1, p.shape[1] - _RC), jnp.float32)
+
+    def cond(c):
+        p_, hi_, eig_, total, rounds = c
+        return jnp.logical_and(
+            jnp.logical_and(hi_ >= w + 2, total < max_total),
+            rounds < max_rounds)
+
+    def body(c):
+        p_, hi_, eig_, total, rounds = c
+        b = jnp.minimum(budget, max_total - total)
+        p_, d, hw, shifts, ns = _aed_round_core(p_, hi_, tol, w=w,
+                                                interpret=interpret)
+        p_, eig_, sw, hi2 = _step_pallas(p_, n, b, tol, shifts, ns,
+                                         interpret=interpret)
+        return p_, hi2, eig_, total + sw, rounds + 1
+
+    p, hi, eig, total, _r = jax.lax.while_loop(
+        cond, body, (p, jnp.asarray(hi, jnp.int32), eig0,
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+    return p, eig, total, hi
+
+
 def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
                               max_sweeps: int, tol: float, *,
                               w: int = 256, sweeps_per_round: int = 96,
@@ -295,28 +333,26 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
             total += int(sweeps)
             hi = int(hi_j)
             break
+        # round 5: the whole deep phase at this window size runs as ONE
+        # jitted while_loop of (AED + sweep batch) rounds — one tunnel
+        # dispatch instead of one per round (the loop condition is the
+        # AED core's hi >= w + 2 precondition, so donation survives; a
+        # cond-guarded megakernel variant was measured to copy the
+        # planes every round, PERF_NOTES round 5).
         budget = min(cur_s, max_sweeps - total)
-        # The double-round megakernel (_aed_sweep_round2) was measured a
-        # ~3x REGRESSION at 2048 (10.6 s vs 3.3-4.1): the lax.cond guard
-        # around the second round defeats the donate/alias chain, so the
-        # (2, np+512, np+512) planes get copied every round. Kept only
-        # behind the env flag for future experiments; single fused
-        # rounds remain the shipped driver.
-        import os
-        double = (os.environ.get("EIGSOL_AED_DOUBLE_ROUND") == "1"
-                  and hi >= 2 * w_eff + 2
-                  and 2 * budget <= max_sweeps - total)
-        rnd = _aed_sweep_round2 if double else _aed_sweep_round
-        p, eig, sweeps, hi_j, d, hi_w = rnd(
+        remaining = max_sweeps - total
+        max_rounds = remaining // max(budget, 1) + 8
+        p, eig, sweeps, hi_j = _aed_deep_phase(
             p, jnp.asarray(hi, jnp.int32), nv,
-            jnp.asarray(budget, jnp.int32), tolv, w=w_eff,
+            jnp.asarray(budget, jnp.int32),
+            jnp.asarray(remaining, jnp.int32),
+            jnp.asarray(max_rounds, jnp.int32), tolv, w=w_eff,
             interpret=interpret)
         total += int(sweeps)
         new_hi = int(hi_j)
         if log is not None:
-            log(f"aed(w={w_eff}, S={cur_s}{', x2' if double else ''}): "
-                f"hi {hi}->{new_hi} (aed deflated {int(d)}, window "
-                f"hi_w={int(hi_w)}), sweeps={total}")
+            log(f"aed-deep(w={w_eff}, S={cur_s}): hi {hi}->{new_hi}, "
+                f"sweeps={total}")
         # Fixed sweep batches measured best on-chip: harvest-adaptive S
         # (grow on poor rounds, shrink on rich ones) was tried and LOST
         # ~2x — rich harvests cluster late, so shrinking S there just
