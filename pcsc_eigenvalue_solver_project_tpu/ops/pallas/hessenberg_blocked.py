@@ -590,12 +590,13 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "nb", "slab_r",
-                                             "chunk"))
+                                             "chunk", "accumulate_q"))
 def hessenberg_blocked_embedded(planes: jax.Array, n: jax.Array, *,
                                 interpret: bool = False,
                                 nb: int | None = None,
                                 slab_r: int | None = None,
-                                chunk: int | None = None):
+                                chunk: int | None = None,
+                                accumulate_q: bool = False):
     """Complex Hessenberg reduction via the structure-preserving real
     embedding (round 5, VERDICT task 2): builds A_e = [[Re, -Im],
     [Im, Re]] (ONE real plane, 2nph x 2nph) and reduces it with COMPLEX
@@ -630,10 +631,20 @@ def hessenberg_blocked_embedded(planes: jax.Array, n: jax.Array, *,
     a_e = jnp.concatenate([
         jnp.concatenate([pr, -pi_], axis=1),
         jnp.concatenate([pi_, pr], axis=1)], axis=0)[None]
-    h, _ = _phase_split_reduce(
+    q0 = None
+    if accumulate_q:
+        # embed(I) = I_{2nph}; phase C's real update Q -= (Q V) T V^T is
+        # embed(Q_c (I - V T V^H)) by the homomorphism, so Q stays an
+        # embedding and the complex Q planes are its blocks
+        q0 = jnp.eye(np2, dtype=jnp.float32)[None]
+    h, q = _phase_split_reduce(
         a_e, n, n_planes=1, np_=np2, nb=nb, slab_r=slab_r,
-        accumulate_q=False, interpret=interpret, chunk=chunk, emb=True)
-    return jnp.stack([h[0, :m, :m], h[0, nph:nph + m, :m]])
+        accumulate_q=accumulate_q, interpret=interpret, chunk=chunk,
+        emb=True, q0=q0)
+    h_pl = jnp.stack([h[0, :m, :m], h[0, nph:nph + m, :m]])
+    if accumulate_q:
+        return h_pl, jnp.stack([q[0, :m, :m], q[0, nph:nph + m, :m]])
+    return h_pl
 
 
 # ---------------------------------------------------------------------------

@@ -740,11 +740,20 @@ def qr_eigenvalues_pallas_blocked(a: np.ndarray, max_sweeps: int,
         raise ValueError(f"unknown schur_driver {schur_driver!r}")
     if schur_driver == "auto":
         schur_driver = "aed" if n >= _SCHUR_AED_MIN_N else "monolithic"
-    h, qh = hessenberg_blocked_planes(planes, n, interpret=interpret,
-                                      accumulate_q=True)
-    if h.shape[0] == 1:
-        h = jnp.concatenate([h, jnp.zeros_like(h)])
-        qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
+    if planes.shape[0] == 2 and n > 1024 and not interpret:
+        # complex eigenpairs beyond the 2-plane Hessenberg compile cap
+        # (round 5): the structure-preserving embedded reduction
+        # accumulates Q as an embedding too, so the Schur-mode sweep
+        # stack and device eigenvector finishing run natively at n
+        from .hessenberg_blocked import hessenberg_blocked_embedded
+        h, qh = hessenberg_blocked_embedded(planes, n, interpret=interpret,
+                                            accumulate_q=True)
+    else:
+        h, qh = hessenberg_blocked_planes(planes, n, interpret=interpret,
+                                          accumulate_q=True)
+        if h.shape[0] == 1:
+            h = jnp.concatenate([h, jnp.zeros_like(h)])
+            qh = jnp.concatenate([qh, jnp.zeros_like(qh)])
     if schur_driver == "aed":
         from .qr_aed import qr_eig_blocked_aed_schur_planes
         eig, sweeps, hi, t_pl, qs = qr_eig_blocked_aed_schur_planes(

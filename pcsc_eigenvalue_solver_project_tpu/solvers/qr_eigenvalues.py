@@ -633,22 +633,12 @@ def qr_eigenvalues(M: AbstractMatrix, opts: SolverOptions = QROptions(), *,
         # VMEM cap is tighter than the plain eigenvalue kernel's (and
         # tighter still for complex inputs, whose Hessenberg runs 2 planes).
         vec_cap = 384 if np.dtype(M.dtype).kind == "c" else 512
-        # the 2-plane blocked Hessenberg does not compile beyond n=1024
-        # (round-4 diagnosis, ops/pallas/qr_aed.py) and the embedding
-        # route has no Q accumulation yet — complex eigenVECTOR solves
-        # beyond that cap run the XLA path with an explicit warning
-        if (np.dtype(M.dtype).kind == "c" and n > 1024
-                and _f32_class_on_accel(M.dtype)):
-            import warnings
-            warnings.warn(
-                f"qr_eigenvalues(compute_vectors=True): complex n={n} "
-                f"exceeds the on-chip Schur-accumulation cap (1024); "
-                f"running the XLA path on the host CPU device. "
-                f"Eigenvalues-only solves stay on-chip at any size via "
-                f"the real-embedding route.", stacklevel=2)
-            with _dense_qr_device():
-                return _qr_eigenvectors_xla(
-                    np.asarray(M.as_dense()), max_it, float(dtol), ftype)
+        # complex eigenVECTORS beyond n=1024 (round 5): the
+        # structure-preserving embedded Hessenberg accumulates Q as an
+        # embedding, so the Schur-mode sweeps + device eigenvector
+        # finishing now run natively on-chip at any HBM-sized n — the
+        # round-4 host-CPU fallback (and its warning) is gone
+        # (ops/pallas/qr_eig_blocked.py complex branch).
         if _f32_class_on_accel(M.dtype):
             from ..core.dtypes import complex_safe_device
             if _use_pallas_qr(n, M.dtype) and n <= vec_cap:

@@ -272,3 +272,25 @@ def test_embedded_hessenberg_real_input_reduces_to_real():
     err = _nn_eig_err(np.linalg.eigvals(a.astype(np.complex128)),
                       np.linalg.eigvals(h[0].astype(np.complex128)))
     assert err < 5e-5 * n
+
+
+def test_embedded_hessenberg_q_accumulation():
+    """Round-5: accumulate_q through the embedded reduction — Q stays an
+    embedding (phase C's real update is embed(Q(I - V T V^H))), so the
+    complex Q planes satisfy A = Q H Q^H and unlock on-chip complex
+    eigenpairs beyond the old n=1024 cap."""
+    from pcsc_eigenvalue_solver_project_tpu.ops.pallas.hessenberg_blocked \
+        import hessenberg_blocked_embedded
+    rng = np.random.default_rng(9)
+    n = 150
+    a = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex64) / np.sqrt(n)
+    planes = jnp.asarray(np.stack([a.real, a.imag]).astype(np.float32))
+    h, q = hessenberg_blocked_embedded(planes, n, interpret=True,
+                                       chunk=128, accumulate_q=True)
+    h, q = np.asarray(h), np.asarray(q)
+    H = h[0] + 1j * h[1]
+    Q = q[0] + 1j * q[1]
+    assert np.abs(np.tril(H, -2)).max() == 0.0
+    assert np.abs(Q.conj().T @ Q - np.eye(n)).max() < 1e-5
+    assert np.abs(Q @ H @ Q.conj().T - a).max() < 1e-4
