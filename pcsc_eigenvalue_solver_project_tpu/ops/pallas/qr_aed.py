@@ -455,6 +455,39 @@ def _complex_via_real_embedding(planes, n, max_sweeps, tol, *, w,
     return out, sweeps0 + sweeps1, bool(conv0 and conv1)
 
 
+@functools.partial(jax.jit, static_argnames=("w", "interpret"),
+                   donate_argnums=(0, 1))
+def _aed_deep_phase_q(p: jax.Array, q: jax.Array, hi: jax.Array,
+                      n: jax.Array, budget: jax.Array,
+                      max_total: jax.Array, max_rounds: jax.Array,
+                      tol: jax.Array, *, w: int,
+                      interpret: bool = False):
+    """Schur-mode deep phase: like ``_aed_deep_phase`` but every AED
+    round and sweep batch maintains the full Schur factorization (Q
+    accumulated, trailing columns live). One dispatch per window size."""
+    eig0 = jnp.zeros((2, 1, p.shape[1] - _RC), jnp.float32)
+
+    def cond(c):
+        p_, q_, hi_, eig_, total, rounds = c
+        return jnp.logical_and(
+            jnp.logical_and(hi_ >= w + 2, total < max_total),
+            rounds < max_rounds)
+
+    def body(c):
+        p_, q_, hi_, eig_, total, rounds = c
+        b = jnp.minimum(budget, max_total - total)
+        p_, q_, d, hw, shifts, ns = _aed_round_core(
+            p_, hi_, tol, w=w, interpret=interpret, q=q_)
+        p_, q_, eig_, sw, hi2 = _step_pallas_q(
+            p_, q_, n, b, tol, shifts, ns, interpret=interpret)
+        return p_, q_, hi2, eig_, total + sw, rounds + 1
+
+    p, q, hi, eig, total, _r = jax.lax.while_loop(
+        cond, body, (p, q, jnp.asarray(hi, jnp.int32), eig0,
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+    return p, q, eig, total, hi
+
+
 def qr_eig_blocked_aed_schur_planes(h_planes: jax.Array, n: int,
                                     max_sweeps: int, tol: float, *,
                                     w: int = 256,
@@ -488,16 +521,22 @@ def qr_eig_blocked_aed_schur_planes(h_planes: jax.Array, n: int,
             total += int(sweeps)
             hi = int(hi_j)
             break
+        # round 5: whole deep phase per window size in ONE dispatch
+        # (same while_loop fusion as the eigenvalues driver)
         budget = min(sweeps_per_round, max_sweeps - total)
-        p, q, eig, sweeps, hi_j, d, hi_w = _aed_sweep_round_q(
+        remaining = max_sweeps - total
+        max_rounds = remaining // max(budget, 1) + 8
+        p, q, eig, sweeps, hi_j = _aed_deep_phase_q(
             p, q, jnp.asarray(hi, jnp.int32), nv,
-            jnp.asarray(budget, jnp.int32), tolv, w=w_eff,
+            jnp.asarray(budget, jnp.int32),
+            jnp.asarray(remaining, jnp.int32),
+            jnp.asarray(max_rounds, jnp.int32), tolv, w=w_eff,
             interpret=interpret)
         total += int(sweeps)
         new_hi = int(hi_j)
         if log is not None:
-            log(f"aed-schur(w={w_eff}): hi {hi}->{new_hi} (aed deflated "
-                f"{int(d)}, window hi_w={int(hi_w)}), sweeps={total}")
+            log(f"aed-schur-deep(w={w_eff}): hi {hi}->{new_hi}, "
+                f"sweeps={total}")
         if new_hi == hi and int(sweeps) == 0:
             break
         hi = new_hi
