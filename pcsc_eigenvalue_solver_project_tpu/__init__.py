@@ -44,7 +44,7 @@ from .matrix.auto import (LayoutDecision, PermutedOperator,
                           from_coo, suggest_layout)
 from .matrix.dia import InterleavedDIA, SparseDIA
 from .matrix.split_complex import InterleavedSplitComplexDIA, SplitComplexDIA
-from .solvers.power import power_method_split_complex
+from .solvers.power import power_method_ds64, power_method_split_complex
 
 __version__ = "0.1.0"
 
@@ -58,6 +58,7 @@ __all__ = [
     "LayoutDecision",
     "PermutedOperator",
     "from_coo",
+    "power_method_ds64",
     "suggest_layout",
     "arnoldi_eigenvalues",
     "krylov_schur_eigenvalues",
