@@ -537,17 +537,25 @@ def bench_qr_c64(n: int, verbose: bool):
                 err=float(dist.max()), sweeps=int(sweeps), host_wall=lw)
 
 
-def bench_eigvec(n: int, verbose: bool):
+def bench_eigvec(n: int, verbose: bool, complex_dtype: bool = False):
     """Full-eigenpair wall-clock: on-chip Schur (blocked kernels with Q
     accumulation) + Pallas triangular back-substitution + device
-    composition/normalization; only the final V transfers to host."""
+    composition/normalization; only the final V transfers to host.
+    ``complex_dtype`` (round 5): the complex path beyond the old 1024
+    cap — embedded-Q Hessenberg + Schur-mode 2-plane sweeps."""
     from pcsc_eigenvalue_solver_project_tpu.ops.pallas.qr_eig_blocked \
         import qr_eigenvalues_pallas_blocked
 
     rng = np.random.default_rng(0)
-    d = np.sort(rng.uniform(1.0, 2.0, n))[::-1]
-    Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
-    a = ((Qo * d) @ Qo.T).astype(np.float32)
+    if complex_dtype:
+        d = rng.uniform(1.0, 2.0, n) * np.exp(1j * rng.uniform(0, 2 * np.pi, n))
+        Qo, _ = np.linalg.qr(rng.standard_normal((n, n))
+                             + 1j * rng.standard_normal((n, n)))
+        a = ((Qo * d) @ Qo.conj().T).astype(np.complex64)
+    else:
+        d = np.sort(rng.uniform(1.0, 2.0, n))[::-1]
+        Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a = ((Qo * d) @ Qo.T).astype(np.float32)
     tol = 3e-6
     _ = qr_eigenvalues_pallas_blocked(a, 40 * n, tol, compute_vectors=True)
     t0 = time.perf_counter()
@@ -703,6 +711,7 @@ def main():
     ap.add_argument("--nvec", type=int, default=8)
     ap.add_argument("--nnz-per-row", type=int, default=33)
     ap.add_argument("--qr-n", type=int, default=512)
+    ap.add_argument("--complex", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--watchdog", type=int, default=480)
     args = ap.parse_args()
@@ -779,9 +788,11 @@ def main():
         return
     if args.suite == "eigvec":
         wall, conv, res, lapack_wall = bench_eigvec(
-            args.qr_n, verbose=not args.json_only)
+            args.qr_n, verbose=not args.json_only,
+            complex_dtype=args.complex)
         _emit_and_cache({
-            "metric": f"qr_eigenpairs_wallclock_{args.qr_n}",
+            "metric": f"qr_eigenpairs_{'c64_' if args.complex else ''}"
+                      f"wallclock_{args.qr_n}",
             "value": round(wall, 4),
             "unit": "s",
             "vs_baseline": round(lapack_wall / wall, 3) if conv else 0.0,
