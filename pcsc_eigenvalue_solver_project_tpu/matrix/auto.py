@@ -161,6 +161,10 @@ class PermutedOperator(AbstractMatrix):
     def matvec(self, x):
         return self.inner.matvec(x)
 
+    def rmatvec(self, x):
+        # (P A P^T)^H = P A^H P^T: same codec, conjugate-transposed core
+        return self.inner.rmatvec(x)
+
     def matmat(self, xs):
         return self.inner.matmat(xs)
 

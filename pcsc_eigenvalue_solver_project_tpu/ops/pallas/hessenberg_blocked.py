@@ -505,11 +505,15 @@ def hessenberg_blocked_planes(planes: jax.Array, n: jax.Array, *,
         # round-5 per-phase sub-splitting: beyond the proven 4096 real
         # ceiling, chunk every np_-operand matmul so static instance
         # splits stay bounded; shrink the slab window so the remaining
-        # whole-slab DMA buffers fit the budget too
+        # whole-slab DMA buffers fit the budget too. At np_ >= 16384 the
+        # DECLARED buffers dominate (pan alone is np_ * 512 B = 8 MB) —
+        # nb/slab_r drop to 16 (probed: compiles at 16384)
         chunk = next(c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
                      if np_ % c == 0)
         if slab_defaulted:
-            slab_r = 32
+            slab_r = 16 if np_ >= 16384 else 32
+        if nb_defaulted and np_ >= 16384:
+            nb = 16
     if np_ % nb != 0:
         raise ValueError(
             f"hessenberg_blocked_planes: nb ({nb}) must divide the "

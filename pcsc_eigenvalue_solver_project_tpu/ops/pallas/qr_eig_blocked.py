@@ -61,7 +61,8 @@ def _dotg(a, b, dims):
 
 
 def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
-                       np_: int, accumulate_q: bool = False):
+                       np_: int, accumulate_q: bool = False,
+                       rc_rows: int = _RC):
     """See module docstring. np_ = 128-padded live size; HBM planes are
     (2, np_ + _RC, np_ + _SC). With ``accumulate_q`` the kernel also
     post-multiplies a Q matrix (same HBM layout, starts as identity) by
@@ -378,10 +379,10 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
 
                 jax.lax.fori_loop(kstart, kend, rrot, 0)
 
-                nrc = (b8 + _WR + _RC - 1) // _RC
+                nrc = (b8 + _WR + rc_rows - 1) // rc_rows
 
                 def rc_dma(slot, ri, direction):
-                    hbm = h_ref.at[:, pl.ds(ri * _RC, _RC),
+                    hbm = h_ref.at[:, pl.ds(ri * rc_rows, rc_rows),
                                    pl.ds(pl.multiple_of(b128, LANES), _WC)]
                     if direction == "in":
                         return pltpu.make_async_copy(hbm, rch.at[slot],
@@ -408,9 +409,9 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
                         - _dotg(c0, Ux[1], (((1,), (1,))))
                     # re-add the shift on diagonal entries in this chunk
                     grow = jax.lax.broadcasted_iota(
-                        jnp.int32, (_RC, _WC), 0) + ri * _RC
+                        jnp.int32, (rc_rows, _WC), 0) + ri * rc_rows
                     gcol = jax.lax.broadcasted_iota(
-                        jnp.int32, (_RC, _WC), 1) + b128
+                        jnp.int32, (rc_rows, _WC), 1) + b128
                     # re-add exactly once: this block's 120 columns, plus
                     # the trailing diag entry hi-1 when its last toucher
                     # (rotation hi-2) lives in this block but hi-1 does not
@@ -436,10 +437,10 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
 
                 if accumulate_q:
                     # Q[:, b128:b128+256] @= Ux^H over all n rows
-                    nrq = (n + _RC - 1) // _RC
+                    nrq = (n + rc_rows - 1) // rc_rows
 
                     def q_dma(slot, ri, direction):
-                        hbm = q_ref.at[:, pl.ds(ri * _RC, _RC),
+                        hbm = q_ref.at[:, pl.ds(ri * rc_rows, rc_rows),
                                        pl.ds(pl.multiple_of(b128, LANES),
                                              _WC)]
                         if direction == "in":
@@ -492,6 +493,14 @@ def _qr_blocked_kernel(scal_i_ref, scal_f_ref, sh_ref, h_in, *refs,
     stat_ref[1] = hi
 
 
+def _rc_rows(np_: int) -> int:
+    # the np_-dependent scratch (cs blocks + diag caches) squeezes the
+    # budget at np_ >= 16384 (over by 83 KB at rc_rows = 512, round-5
+    # probe) — halving the right-pass chunk rows frees 1 MB; layout
+    # padding stays _RC, only the streaming granularity changes
+    return 256 if np_ >= 16384 else _RC
+
+
 def _make_scratch(np_: int):
     return [
         pltpu.VMEM((2, _WR, _WC), jnp.float32),            # win
@@ -502,7 +511,7 @@ def _make_scratch(np_: int):
         pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sub cache
         pltpu.VMEM((2, 1, np_ + LANES), jnp.float32),      # sup cache
         pltpu.VMEM((2, 2, _WR, _SC), jnp.float32),         # slab
-        pltpu.VMEM((2, 2, _RC, _WC), jnp.float32),         # rchunk
+        pltpu.VMEM((2, 2, _rc_rows(np_), _WC), jnp.float32),  # rchunk
         pltpu.SemaphoreType.DMA((5,)),
     ]
 
@@ -542,7 +551,8 @@ def _step_pallas_q(p, q, n, max_sweeps, tol, shifts, n_shifts, *,
                       jnp.asarray(n_shifts, jnp.int32)])
     tolv = jnp.asarray(tol, jnp.float32).reshape(1)
     eig, stat, h_out, q_out = pl.pallas_call(
-        functools.partial(_qr_blocked_kernel, np_=np_, accumulate_q=True),
+        functools.partial(_qr_blocked_kernel, np_=np_, accumulate_q=True,
+                          rc_rows=_rc_rows(np_)),
         out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
                    jax.ShapeDtypeStruct((2,), jnp.int32),
                    jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
@@ -596,7 +606,8 @@ def _step_pallas(p, n, max_sweeps, tol, shifts, n_shifts, *,
                       jnp.asarray(n_shifts, jnp.int32)])
     tolv = jnp.asarray(tol, jnp.float32).reshape(1)
     eig, stat, h_out = pl.pallas_call(
-        functools.partial(_qr_blocked_kernel, np_=np_),
+        functools.partial(_qr_blocked_kernel, np_=np_,
+                          rc_rows=_rc_rows(np_)),
         out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
                    jax.ShapeDtypeStruct((2,), jnp.int32),
                    jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
@@ -653,7 +664,7 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
         qeye = qeye.at[0, :np_, :np_].set(jnp.eye(np_, dtype=jnp.float32))
         eig, stat, h_out, q_out = pl.pallas_call(
             functools.partial(_qr_blocked_kernel, np_=np_,
-                              accumulate_q=True),
+                              accumulate_q=True, rc_rows=_rc_rows(np_)),
             out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
                        jax.ShapeDtypeStruct((2,), jnp.int32),
                        jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
@@ -676,7 +687,8 @@ def qr_eig_blocked_planes(planes: jax.Array, n: jax.Array,
         return (eig[:, 0, :m], stat[0], stat[1],
                 h_out[:, :m, :m], q_out[:, :m, :m])
     eig, stat, _h = pl.pallas_call(
-        functools.partial(_qr_blocked_kernel, np_=np_),
+        functools.partial(_qr_blocked_kernel, np_=np_,
+                          rc_rows=_rc_rows(np_)),
         out_shape=(jax.ShapeDtypeStruct((2, 1, np_), jnp.float32),
                    jax.ShapeDtypeStruct((2,), jnp.int32),
                    jax.ShapeDtypeStruct((2, np_ + _RC, np_ + _SC),
