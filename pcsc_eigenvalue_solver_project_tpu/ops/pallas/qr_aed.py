@@ -306,10 +306,11 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
     (AED rounds are extra work but deflate without sweeping).
     """
     n_planes, m, _ = h_planes.shape
-    assert n_planes == 2
-    tolv = jnp.asarray(tol, jnp.float32)
+    assert n_planes in (1, 2)   # (1, m, m) real: zero plane folded into
+    tolv = jnp.asarray(tol, jnp.float32)    # the pad (16384 OOM fix)
     nv = jnp.asarray(n, jnp.int32)
     p, np_ = pad_for_blocked(h_planes)
+    del h_planes
     # a short Wilkinson warm-up matures the bottom of the window before
     # the first AED pass (nothing deflates from a cold Hessenberg)
     warmup = min(sweeps_per_round, max_sweeps)
@@ -569,6 +570,7 @@ def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,
         # cost and removing the conjugation-matching ambiguity the
         # round-4 advisor flagged.
         h = hessenberg_blocked_embedded(planes, n, interpret=interpret)
+        del planes
         eig, sweeps, hi = qr_eig_blocked_aed_planes(
             h, n, max_sweeps, tol, w=w,
             sweeps_per_round=sweeps_per_round, log=log,
@@ -577,8 +579,10 @@ def qr_eigenvalues_pallas_blocked_aed(a, max_sweeps: int, tol: float, *,
         return ((e[0] + 1j * e[1])[:n].astype(np.complex64),
                 int(sweeps), bool(int(hi) <= 1))
     h = hessenberg_blocked_planes(planes, n, interpret=interpret)
-    if h.shape[0] == 1:
-        h = jnp.concatenate([h, jnp.zeros_like(h)])
+    del planes
+    # 1-plane h passes straight through: pad_for_blocked folds the zero
+    # imaginary plane into the pad (a (2, m, m) concatenate here held an
+    # extra 2.1 GB at 16384 and tipped the device OOM)
     eig, sweeps, hi = qr_eig_blocked_aed_planes(
         h, n, max_sweeps, tol, w=w, sweeps_per_round=sweeps_per_round,
         interpret=interpret, log=log)

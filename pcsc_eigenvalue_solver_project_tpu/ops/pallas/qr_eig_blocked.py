@@ -627,13 +627,17 @@ def _step_pallas(p, n, max_sweeps, tol, shifts, n_shifts, *,
 
 
 def pad_for_blocked(planes: jax.Array):
-    """Pad (2, m, m) split planes to the blocked kernel's HBM layout
-    (2, np_ + _RC, np_ + _SC); returns (padded, np_)."""
+    """Pad (2, m, m) — or (1, m, m) real, whose zero imaginary plane is
+    folded into the SAME pad (no (2, m, m) intermediate: at m = 16384
+    that materialized an extra 2.1 GB and tipped the device OOM) — to
+    the blocked kernel's HBM layout (2, np_ + _RC, np_ + _SC); returns
+    (padded, np_)."""
     n_planes, m, _ = planes.shape
-    assert n_planes == 2
+    assert n_planes in (1, 2)
     np_ = max(_round_up(m, LANES), 2 * LANES)
     p = jnp.pad(planes.astype(jnp.float32),
-                ((0, 0), (0, np_ + _RC - m), (0, np_ + _SC - m)))
+                ((0, 2 - n_planes), (0, np_ + _RC - m),
+                 (0, np_ + _SC - m)))
     return p, np_
 
 
