@@ -339,16 +339,26 @@ def qr_eig_blocked_aed_planes(h_planes: jax.Array, n: int,
         # dispatch instead of one per round (the loop condition is the
         # AED core's hi >= w + 2 precondition, so donation survives; a
         # cond-guarded megakernel variant was measured to copy the
-        # planes every round, PERF_NOTES round 5).
+        # planes every round, PERF_NOTES round 5). At np_ >= 16384 the
+        # while carry's double-buffered 2.3 GB planes crash the worker
+        # (single host-driven rounds run fine) — and the ~85 ms/round
+        # host overhead is noise against a multi-minute solve there, so
+        # the per-round loop is the better trade anyway.
         budget = min(cur_s, max_sweeps - total)
         remaining = max_sweeps - total
-        max_rounds = remaining // max(budget, 1) + 8
-        p, eig, sweeps, hi_j = _aed_deep_phase(
-            p, jnp.asarray(hi, jnp.int32), nv,
-            jnp.asarray(budget, jnp.int32),
-            jnp.asarray(remaining, jnp.int32),
-            jnp.asarray(max_rounds, jnp.int32), tolv, w=w_eff,
-            interpret=interpret)
+        if np_ >= 16384:
+            p, eig, sweeps, hi_j, d, hi_w = _aed_sweep_round(
+                p, jnp.asarray(hi, jnp.int32), nv,
+                jnp.asarray(budget, jnp.int32), tolv, w=w_eff,
+                interpret=interpret)
+        else:
+            max_rounds = remaining // max(budget, 1) + 8
+            p, eig, sweeps, hi_j = _aed_deep_phase(
+                p, jnp.asarray(hi, jnp.int32), nv,
+                jnp.asarray(budget, jnp.int32),
+                jnp.asarray(remaining, jnp.int32),
+                jnp.asarray(max_rounds, jnp.int32), tolv, w=w_eff,
+                interpret=interpret)
         total += int(sweeps)
         new_hi = int(hi_j)
         if log is not None:
