@@ -25,6 +25,8 @@ run 580 --suite ds64 --n 100000    # f64-class on-chip accuracy (round 5)
 run 580 --suite qr --qr-n 512
 run 580 --suite qr --qr-n 2048     # AED + megakernel rounds, vs host LAPACK
 run 1000 --suite qr --qr-n 8192 --watchdog 950   # round-5 headline
+# n=16384 measured out-of-band (full run ~45 min exceeds the set windows):
+# 383 s warm on-chip vs 1118 s host LAPACK = 2.92x, err 8.3e-5 (PERF_NOTES round 5)
 run 900 --suite qr_c64 --qr-n 2048 --watchdog 850  # embedded complex path
 run 1100 --suite qr_c64 --qr-n 4096 --watchdog 1050  # complex 4096 (new in r5)
 run 900 --suite eigvec --qr-n 4096 --watchdog 850  # device eigenpairs
