@@ -622,9 +622,11 @@ def hessenberg_blocked_embedded(planes: jax.Array, n: jax.Array, *,
     nph = max(_round_up(m, LANES), 2 * LANES)
     np2 = 2 * nph
     if nb is None:
-        nb = 32            # nbc = 16 complex columns per panel
+        # nbc = nb/2 complex columns per panel; np2 >= 16384 (complex
+        # n >= 8192) needs the lean tiling (probed: compiles)
+        nb = 16 if np2 >= 16384 else 32
     if slab_r is None:
-        slab_r = 32
+        slab_r = 16 if np2 >= 16384 else 32
     if chunk is None:
         chunk = next(c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
                      if nph % c == 0)
