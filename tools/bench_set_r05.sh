@@ -31,6 +31,7 @@ run 900 --suite qr_c64 --qr-n 2048 --watchdog 850  # embedded complex path
 run 1100 --suite qr_c64 --qr-n 4096 --watchdog 1050  # complex 4096 (new in r5)
 run 900 --suite eigvec --qr-n 4096 --watchdog 850  # device eigenpairs
 run 1100 --suite eigvec --qr-n 2048 --complex --watchdog 1050  # complex eigenpairs (new in r5)
+run 2800 --suite eigvec --qr-n 4096 --complex --watchdog 2700  # complex eigenpairs 4096 (r5 final)
 run 1100 --suite gmres --n 4096 --watchdog 1050  # interior-shift GMRES at scale
 
 # scaling-efficiency bound + parity lines (fake mesh / CPU)
